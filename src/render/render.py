@@ -1,0 +1,189 @@
+"""The render core: fused ray-gen → intersect → shade → AA accumulation.
+
+TPU-native equivalent of the reference's per-pixel tile kernel (SURVEY.md §2
+#13, reference trace.cpp TraceTile): instead of a scalar loop over pixels and
+samples, the whole sample grid is flattened into one ray batch and every stage
+is a batched, branch-free op — XLA fuses the chain; the Pallas variants in
+src/kernels/ replace the hottest configurations. Supersampling (SURVEY.md §2
+#12) folds the sample dimension into the ray batch and mean-reduces in-device,
+i.e. "fused differentiable accumulation" per the north star.
+
+Ray blocks are processed through `lax.map` when cfg.block_size is set — the
+TPU analog of the reference's tile scheduler granule (memory bound, not
+thread scheduling; device-level parallelism lives in src/dist/sharding.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from src.kernels import moller_trumbore as mt
+from src.kernels.sphere_trace import make_sphere_tracer, surface_normal
+from src.render import shading
+from src.render.camera import generate_rays
+from src.scene.types import Scene
+from src.sdf.primitives import sdf_distance, sdf_distance_and_mat
+from src.utils.config import RenderConfig
+
+BIG = 1e10
+
+
+def resolve_method(scene: Scene, cfg: RenderConfig) -> str:
+    if cfg.method != "auto":
+        return cfg.method
+    if scene.has_mesh and scene.has_sdf:
+        return "mixed"
+    if scene.has_mesh:
+        return "mesh_brute" if scene.mesh.num_tris <= 4096 else "mesh_grid"
+    return "sdf"
+
+
+# ---------------------------------------------------------------------------
+# Sampling (deterministic stratified grid — bit-identical across runs/shardings)
+# ---------------------------------------------------------------------------
+
+def sample_offsets(cfg: RenderConfig, dtype=jnp.float32):
+    """(spp, 2) stratified subpixel offsets in [0,1): cell centers of a k×k grid."""
+    k = cfg.spp_side
+    centers = (jnp.arange(k, dtype=dtype) + 0.5) / k
+    ox, oy = jnp.meshgrid(centers, centers, indexing="xy")
+    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)
+
+
+def pixel_sample_coords(cfg: RenderConfig, dtype=jnp.float32):
+    """Sample positions for every (pixel, sample): two (H, W, spp) arrays."""
+    xs = jnp.arange(cfg.width, dtype=dtype)
+    ys = jnp.arange(cfg.height, dtype=dtype)
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")  # (H, W)
+    off = sample_offsets(cfg, dtype)  # (spp, 2)
+    sx = px[..., None] + off[:, 0]
+    sy = py[..., None] + off[:, 1]
+    return sx, sy
+
+
+# ---------------------------------------------------------------------------
+# Intersection dispatch
+# ---------------------------------------------------------------------------
+
+def _trace_sdf(scene: Scene, cfg: RenderConfig, o, d):
+    tracer = make_sphere_tracer(
+        sdf_distance, max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far
+    )
+    t, hit, _steps = tracer(scene.sdf, o, d)
+    p = o + t[..., None] * d
+    n = surface_normal(sdf_distance, scene.sdf, p)
+    _, mat = sdf_distance_and_mat(scene.sdf, jax.lax.stop_gradient(p))
+    mat = jax.lax.stop_gradient(mat)
+    return t, hit, p, n, mat
+
+
+def _trace_mesh_brute(scene: Scene, cfg: RenderConfig, o, d):
+    res = mt.intersect_brute(scene.mesh, o, d, t_max=cfg.t_far)
+    tri = jax.lax.stop_gradient(res.tri)
+    t, _u, _v, n = mt.recompute_hit(scene.mesh, o, d, tri)
+    t = jnp.where(res.hit, t, BIG)
+    p = o + t[..., None] * d
+    mat = jnp.where(res.hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
+    return t, res.hit, p, n, mat
+
+
+def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
+    raise NotImplementedError("uniform-grid DDA lands in the grid milestone")
+
+
+def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
+    """Closest-hit dispatch -> (t, hit, p, n, mat). Static method selection."""
+    if method == "sdf":
+        return _trace_sdf(scene, cfg, o, d)
+    if method == "mesh_brute":
+        return _trace_mesh_brute(scene, cfg, o, d)
+    if method == "mixed":
+        ts, hs, ps, ns, ms = _trace_sdf(scene, cfg, o, d)
+        tm, hm, pm, nm, mm = _trace_mesh_brute(scene, cfg, o, d)
+        ts_eff = jnp.where(hs, ts, BIG)
+        tm_eff = jnp.where(hm, tm, BIG)
+        sdf_closer = ts_eff <= tm_eff
+        t = jnp.where(sdf_closer, ts, tm)
+        hit = hs | hm
+        p = jnp.where(sdf_closer[..., None], ps, pm)
+        n = jnp.where(sdf_closer[..., None], ns, nm)
+        mat = jnp.where(sdf_closer, ms, mm)
+        return t, hit, p, n, mat
+    raise ValueError(f"unknown method {method!r}")
+
+
+def make_occluder(scene: Scene, cfg: RenderConfig, method: str):
+    """Shadow visibility callback for shade(), per method; None if disabled."""
+    if cfg.shadow == "none":
+        return None
+    use_sdf = method in ("sdf", "mixed") and scene.has_sdf
+    use_mesh = method in ("mesh_brute", "mesh_grid", "mixed") and scene.has_mesh
+
+    def occluder(p, l_dir):
+        vis = jnp.ones(p.shape[:-1], p.dtype)
+        if use_sdf:
+            if cfg.shadow == "soft":
+                vis = vis * shading.sdf_soft_shadow(sdf_distance, scene.sdf, p, l_dir, cfg)
+            else:
+                vis = vis * shading.sdf_hard_shadow(sdf_distance, scene.sdf, p, l_dir, cfg)
+        if use_mesh:
+            blocked = mt.any_hit_brute(scene.mesh, p, l_dir, t_max=cfg.t_far)
+            vis = vis * (1.0 - jax.lax.stop_gradient(blocked.astype(p.dtype)))
+        return vis
+
+    return occluder
+
+
+def make_ao(scene: Scene, cfg: RenderConfig, method: str):
+    if cfg.ao == "none":
+        return None
+    if cfg.ao == "sdf5" and scene.has_sdf:
+        return lambda p, n: shading.sdf_ambient_occlusion(sdf_distance, scene.sdf, p, n, cfg)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Fused render
+# ---------------------------------------------------------------------------
+
+def render_rays(scene: Scene, cfg: RenderConfig, o, d, method: str | None = None):
+    """Trace + shade a flat ray batch: (R, 3),(R, 3) -> (R, 3) linear RGB."""
+    method = method or resolve_method(scene, cfg)
+    t, hit, p, n, mat = trace_rays(scene, cfg, o, d, method)
+    occluder = make_occluder(scene, cfg, method)
+    ao_fn = make_ao(scene, cfg, method)
+    return shading.shade(scene, cfg, p, n, d, mat, hit, occluder, ao_fn)
+
+
+def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
+    """Full frame: (H, W, 3) linear RGB, spp-averaged."""
+    dtype = scene.camera.origin.dtype
+    method = resolve_method(scene, cfg)
+    sx, sy = pixel_sample_coords(cfg, dtype)  # (H, W, spp)
+    o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(), cfg.width, cfg.height)
+
+    R = o.shape[0]
+    if cfg.block_size and cfg.block_size < R:
+        bs = cfg.block_size
+        pad = (-R) % bs
+        if pad:
+            o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))])
+            d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))])
+        o = o.reshape(-1, bs, 3)
+        d = d.reshape(-1, bs, 3)
+        colors = jax.lax.map(
+            lambda od: render_rays(scene, cfg, od[0], od[1], method), (o, d)
+        ).reshape(-1, 3)[:R]
+    else:
+        colors = render_rays(scene, cfg, o, d, method)
+
+    img = colors.reshape(cfg.height, cfg.width, cfg.spp, 3)
+    return jnp.mean(img, axis=2)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def render_image_jit(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
+    return render_image(scene, cfg)

@@ -1,0 +1,112 @@
+"""Differentiable shading: Lambertian lighting, hard/soft shadows, ambient
+occlusion.
+
+TPU-native equivalent of the reference's Shade() (SURVEY.md §2 #11): N·L
+Lambertian with shadow rays and distance-field AO. All arithmetic is batched
+over the ray dimension and differentiable w.r.t. materials, lights, and —
+through the hit point and normal — geometry. Discontinuous hard-shadow
+visibility is stop-gradiented (a 0/1 step has measure-zero gradient; see
+SURVEY.md §7 hard part 3); soft shadows and AO are smooth and differentiate
+when cfg.diff_vis is set.
+
+Visibility is abstracted behind an `occluder` callback so the same shading
+code serves the SDF path (shadow = short sphere-trace march), the mesh paths
+(shadow = any-hit query via brute MT or grid DDA), and mixed scenes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from src.core.math3d import clamp01, dot, normalize
+from src.scene.types import Scene, background_color
+from src.utils.config import RenderConfig
+
+
+def sdf_hard_shadow(de_fn, sdf_scene, p, l_dir, cfg: RenderConfig):
+    """0/1 visibility by marching toward the light. (R,3),(R,3) -> (R,)."""
+    t = jnp.full(p.shape[:-1], cfg.shadow_bias, p.dtype)
+    blocked = jnp.zeros(p.shape[:-1], bool)
+
+    def body(_, carry):
+        t, blocked = carry
+        active = (~blocked) & (t < cfg.t_far)
+        d = de_fn(sdf_scene, p + t[..., None] * l_dir)
+        blocked = blocked | (active & (d < cfg.eps))
+        t = jnp.where(active, t + jnp.maximum(d, cfg.eps * 0.5), t)
+        return t, blocked
+
+    _, blocked = jax.lax.fori_loop(0, cfg.shadow_steps, body, (t, blocked))
+    return 1.0 - blocked.astype(p.dtype)
+
+
+def sdf_soft_shadow(de_fn, sdf_scene, p, l_dir, cfg: RenderConfig):
+    """Penumbra visibility: min over the march of k * DE / t (classic DF soft
+    shadow), clamped to [0, 1]. Smooth in geometry and light direction."""
+    t0 = jnp.full(p.shape[:-1], cfg.shadow_bias, p.dtype)
+    s0 = jnp.ones(p.shape[:-1], p.dtype)
+
+    def body(_, carry):
+        t, s = carry
+        active = t < cfg.t_far
+        d = de_fn(sdf_scene, p + t[..., None] * l_dir)
+        s_new = jnp.minimum(s, cfg.soft_k * d / jnp.maximum(t, cfg.shadow_bias))
+        s = jnp.where(active, s_new, s)
+        t = jnp.where(active, t + jnp.clip(d, cfg.eps * 0.5, 0.4), t)
+        return t, s
+
+    _, s = jax.lax.fori_loop(0, cfg.shadow_steps, body, (t0, s0))
+    return clamp01(s)
+
+
+def sdf_ambient_occlusion(de_fn, sdf_scene, p, n, cfg: RenderConfig):
+    """5-tap distance-field AO: compare DE at fixed offsets along the normal
+    with the unoccluded distance; exponentially weighted (near taps dominate)."""
+    occ = jnp.zeros(p.shape[:-1], p.dtype)
+    w = 1.0
+    for i in range(1, 6):
+        h = cfg.ao_step * i
+        d = de_fn(sdf_scene, p + h * n)
+        occ = occ + w * (h - d)
+        w *= 0.7
+    return clamp01(1.0 - cfg.ao_strength * occ)
+
+
+def shade(
+    scene: Scene,
+    cfg: RenderConfig,
+    p: jnp.ndarray,  # (R, 3) hit points
+    n: jnp.ndarray,  # (R, 3) unit normals
+    d: jnp.ndarray,  # (R, 3) incoming ray dirs
+    mat_id: jnp.ndarray,  # (R,) int32
+    hit: jnp.ndarray,  # (R,) bool
+    occluder: Optional[Callable] = None,  # (p, l_dir) -> vis in [0,1]
+    ao_fn: Optional[Callable] = None,  # (p, n) -> ao in [0,1]
+) -> jnp.ndarray:
+    """Lambertian shade of hit rays; background color for misses. -> (R, 3)."""
+    albedo = scene.materials.albedo[mat_id]  # gather (R, 3)
+    # face the normal against the incoming ray (two-sided shading)
+    n = jnp.where(dot(n, d)[..., None] > 0.0, -n, n)
+
+    ao = ao_fn(p, n) if ao_fn is not None else jnp.ones(p.shape[:-1], p.dtype)
+    radiance = scene.lights.ambient * ao[..., None]
+
+    for li in range(scene.lights.direction.shape[0]):
+        l_dir = normalize(scene.lights.direction[li])
+        ndotl = jnp.maximum(dot(n, l_dir), 0.0)
+        if occluder is not None:
+            # offset along the (flipped) normal to escape the surface band
+            p_off = p + cfg.shadow_bias * n
+            vis = occluder(p_off, jnp.broadcast_to(l_dir, p.shape))
+            if not cfg.diff_vis:
+                vis = jax.lax.stop_gradient(vis)
+        else:
+            vis = jnp.ones_like(ndotl)
+        radiance = radiance + scene.lights.color[li] * (ndotl * vis)[..., None]
+
+    color = albedo * radiance
+    bg = background_color(scene, d)
+    return jnp.where(hit[..., None], color, bg)

@@ -1,0 +1,74 @@
+"""Scene containers: materials, lights, and the top-level Scene pytree.
+
+The reference hard-codes scenes in C++ setup functions with compile-time
+constants (SURVEY.md §2 #17, §5 config). Here a scene is a single pytree whose
+float leaves are ALL differentiable parameters — SDF params, mesh vertices,
+camera pose, materials, lights — which is what `fit()` optimizes
+(BASELINE.json north_star: "gradients w.r.t. vertex positions, SDF parameters,
+camera pose, and shading/material params").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from src.render.camera import Camera
+from src.scene.mesh import MeshScene
+from src.sdf.primitives import SdfScene
+
+
+@struct.dataclass
+class Materials:
+    albedo: jnp.ndarray  # (K, 3) Lambertian albedo per material id
+
+    @staticmethod
+    def make(albedos, dtype=jnp.float32):
+        return Materials(albedo=jnp.asarray(albedos, dtype))
+
+
+@struct.dataclass
+class Lights:
+    """Directional lights plus a constant ambient term.
+
+    `direction` points FROM the surface TOWARD the light (normalized at use).
+    """
+
+    direction: jnp.ndarray  # (L, 3)
+    color: jnp.ndarray  # (L, 3)
+    ambient: jnp.ndarray  # (3,)
+
+    @staticmethod
+    def make(directions, colors, ambient=(0.05, 0.05, 0.05), dtype=jnp.float32):
+        return Lights(
+            direction=jnp.asarray(directions, dtype).reshape(-1, 3),
+            color=jnp.asarray(colors, dtype).reshape(-1, 3),
+            ambient=jnp.asarray(ambient, dtype),
+        )
+
+
+@struct.dataclass
+class Scene:
+    camera: Camera
+    sdf: SdfScene
+    mesh: MeshScene
+    materials: Materials
+    lights: Lights
+    bg_top: jnp.ndarray  # (3,) sky gradient top color
+    bg_bottom: jnp.ndarray  # (3,)
+
+    @property
+    def has_sdf(self) -> bool:
+        return self.sdf.num_primitives > 0
+
+    @property
+    def has_mesh(self) -> bool:
+        return self.mesh.num_tris > 0
+
+
+def background_color(scene: Scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Vertical sky gradient by ray direction: (..., 3) -> (..., 3)."""
+    s = 0.5 * (d[..., 1] + 1.0)
+    return scene.bg_bottom + (scene.bg_top - scene.bg_bottom) * s[..., None]

@@ -1,0 +1,163 @@
+"""Gradcheck: autodiff VJP vs central finite differences on full renders.
+
+BASELINE.json acceptance: gradients w.r.t. SDF params, vertex positions,
+camera pose, materials/lights. Restricted to interior (non-silhouette) pixels
+per SURVEY.md §7 hard part 3.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from src.render.render import render_image
+from src.scene.scenes import build_scene
+from src.utils.gradcheck import check_grad, interior_mask
+
+
+def _masked_loss_builder(scene, cfg, target_shift=0.1):
+    """Loss = masked MSE against a shifted copy of the base render."""
+    base = render_image(scene, cfg)
+    # hit mask via alpha trick: pixels that differ from pure background
+    from ref.cpu_renderer import to_numpy_scene  # noqa: F401  (doc: mask from render)
+    # approximate hit mask: where image != background gradient; robust enough
+    # for these scenes because shading never exactly equals the sky color.
+    from src.render.render import pixel_sample_coords
+    from src.render.camera import generate_rays
+    from src.scene.types import background_color
+    sx, sy = pixel_sample_coords(cfg, base.dtype)
+    o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(), cfg.width, cfg.height)
+    bg = background_color(scene, d).reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2)
+    hit = jnp.any(jnp.abs(base - bg) > 1e-6, axis=-1)
+    mask = interior_mask(hit, iters=2).astype(base.dtype)[..., None]
+    target = jax.lax.stop_gradient(base + target_shift)
+    norm = jnp.sum(mask) * 3.0
+    return lambda img: jnp.sum(mask * (img - target) ** 2) / norm
+
+
+def test_grad_sdf_radius_and_center():
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=24, height=24, eps=1e-6, max_steps=384)
+    loss_of_img = _masked_loss_builder(scene, cfg)
+
+    def loss(radius):
+        s = scene.replace(sdf=scene.sdf.replace(sph_radius=radius))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss, jnp.asarray([1.0]), eps=1e-5, rtol=1e-3)
+
+    def loss_c(center):
+        s = scene.replace(sdf=scene.sdf.replace(sph_center=center))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss_c, scene.sdf.sph_center, eps=1e-5, rtol=1e-3)
+
+
+def test_grad_camera_pose():
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=24, height=24, eps=1e-6, max_steps=384)
+    loss_of_img = _masked_loss_builder(scene, cfg)
+
+    def loss(origin):
+        s = scene.replace(camera=scene.camera.replace(origin=origin))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss, scene.camera.origin, eps=1e-5, rtol=2e-3)
+
+
+def test_grad_materials_and_lights():
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16, eps=1e-6, max_steps=384)
+    loss_of_img = _masked_loss_builder(scene, cfg)
+
+    def loss_albedo(albedo):
+        s = scene.replace(materials=scene.materials.replace(albedo=albedo))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss_albedo, scene.materials.albedo, eps=1e-5, rtol=1e-5)
+
+    def loss_light(color):
+        s = scene.replace(lights=scene.lights.replace(color=color))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss_light, scene.lights.color, eps=1e-5, rtol=1e-5)
+
+
+def test_grad_vertex_positions_mesh():
+    scene, cfg = build_scene("triangles", dtype=jnp.float64)
+    cfg = cfg.replace(width=24, height=24, shadow="none")
+    loss_of_img = _masked_loss_builder(scene, cfg)
+
+    # perturb only the first triangle's vertices; FD over 9 components
+    v0 = scene.mesh.verts[:3]
+
+    def loss(v3):
+        verts = scene.mesh.verts.at[:3].set(v3)
+        s = scene.replace(mesh=scene.mesh.replace(verts=verts))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss, v0, eps=1e-5, rtol=5e-3, atol=1e-7)
+
+
+def test_grad_mandelbulb_power_vs_true_root():
+    """IFT gradient of the hit distance vs finite differences of the TRUE
+    level-set root (bisection on the DE along the ray).
+
+    FD through the march itself is meaningless on a fractal: the DE is only
+    asymptotically exact, so the march's t* is not on the eps-level set and
+    at high iteration counts the level set is chaotic in the parameters
+    (documented limitation, SURVEY.md §7 hard parts 3/6). At mb_iters=6 the
+    surface is smooth enough for FD of the bisection root to converge.
+    """
+    from src.kernels.sphere_trace import make_sphere_tracer
+    from src.sdf.primitives import sdf_distance
+
+    scene, _ = build_scene("mandelbulb", dtype=jnp.float64)
+    sdf0 = scene.sdf.replace(mb_iters=6)
+    o1 = np.array([0.0, 1.1, 3.0])
+    d1 = np.array([0.1, 1.2, 0.0]) - o1
+    d1 /= np.linalg.norm(d1)
+    oj, dj = jnp.asarray([o1]), jnp.asarray([d1])
+    EPS = 1e-6
+    tracer = make_sphere_tracer(sdf_distance, max_steps=2000, eps=EPS, t_far=20.0)
+    t0, hit, _ = tracer(sdf0, oj, dj)
+    assert bool(hit[0])
+
+    def de(power, t):
+        s = sdf0.replace(mb_power=jnp.asarray([power]))
+        return float(sdf_distance(s, jnp.asarray(o1 + t * d1)))
+
+    def root(power):
+        lo, hi = float(t0[0]) - 0.05, float(t0[0]) + 0.05
+        while de(power, lo) < EPS:
+            lo -= 0.02
+        while de(power, hi) > EPS:
+            hi += 0.02
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            lo, hi = (mid, hi) if de(power, mid) > EPS else (lo, mid)
+        return 0.5 * (lo + hi)
+
+    def fs(power):
+        t, h, _ = tracer(sdf0.replace(mb_power=power), oj, dj)
+        return jnp.sum(jnp.where(h, t, 0.0))
+
+    g_ad = float(jax.grad(fs)(jnp.asarray([8.0]))[0])
+    h = 1e-6
+    g_fd = (root(8.0 + h) - root(8.0 - h)) / (2 * h)
+    assert np.isfinite(g_ad)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=0.15)
+
+
+def test_grad_mandelbulb_render_finite():
+    """Full-iteration fractal: gradients must at least be finite (FD is
+    chaotic there, so finiteness + the iters=6 root test are the gate)."""
+    scene, cfg = build_scene("mandelbulb", dtype=jnp.float64)
+    cfg = cfg.replace(width=12, height=12, spp=1, shadow="soft", ao="sdf5",
+                      block_size=0)
+
+    def loss(power):
+        s = scene.replace(sdf=scene.sdf.replace(mb_power=power))
+        return jnp.mean(render_image(s, cfg) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray([8.0]))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -1,0 +1,84 @@
+"""Golden-image tests: TPU-path renderer vs the scalar numpy CPU reference.
+
+SURVEY.md §4.1 — every kernel must allclose the CPU reference. Small
+resolutions keep the scalar reference tolerable.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ref import cpu_renderer
+from src.render.render import render_image, render_image_jit
+from src.scene.scenes import build_scene
+
+
+def _compare(name, size, dtype, atol, spp=None, **cfg_kw):
+    scene, cfg = build_scene(name, dtype=dtype)
+    cfg = cfg.replace(width=size, height=size, block_size=0, **cfg_kw)
+    if spp is not None:
+        cfg = cfg.replace(spp=spp)
+    img = np.asarray(render_image(scene, cfg))
+    ref_img = cpu_renderer.render_image(scene, cfg)
+    np.testing.assert_allclose(img, ref_img, atol=atol)
+    return img
+
+
+def test_sphere_golden_f64():
+    _compare("sphere", 32, jnp.float64, atol=5e-6)
+
+
+def test_sphere_golden_f32():
+    _compare("sphere", 32, jnp.float32, atol=3e-3)
+
+
+def test_sphere_golden_spp4():
+    _compare("sphere", 24, jnp.float64, atol=5e-6, spp=4)
+
+
+def test_sphere_with_hard_shadow_and_plane():
+    # add a ground plane so shadows actually land somewhere
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    sdf = scene.sdf.replace(
+        pln_normal=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float64),
+        pln_offset=jnp.asarray([-1.0], jnp.float64),
+        pln_mat=jnp.asarray([0], jnp.int32),
+    )
+    scene = scene.replace(sdf=sdf)
+    cfg = cfg.replace(width=32, height=32, shadow="hard")
+    img = np.asarray(render_image(scene, cfg))
+    ref_img = cpu_renderer.render_image(scene, cfg)
+    np.testing.assert_allclose(img, ref_img, atol=5e-6)
+
+
+def test_mandelbulb_golden_small():
+    # The CPU reference computes normals by central differences, the TPU path
+    # by autodiff; on the rough fractal surface these genuinely differ at a
+    # few pixels, so the gate is quantile-based (99% tight, max loose).
+    scene, cfg = build_scene("mandelbulb", dtype=jnp.float64)
+    cfg = cfg.replace(width=24, height=24, block_size=0, spp=1)
+    img = np.asarray(render_image(scene, cfg))
+    ref_img = cpu_renderer.render_image(scene, cfg)
+    d = np.abs(img - ref_img).max(-1)
+    assert np.quantile(d, 0.99) < 2e-4
+    assert d.max() < 2e-2
+
+
+def test_blocked_render_matches_unblocked():
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg0 = cfg.replace(width=32, height=32, block_size=0)
+    cfg1 = cfg.replace(width=32, height=32, block_size=128)
+    a = np.asarray(render_image(scene, cfg0))
+    b = np.asarray(render_image(scene, cfg1))
+    # blocking changes XLA fusion boundaries, so bit-equality is not expected
+    # across block sizes (it IS expected across runs at a fixed config);
+    # agreement must still be at rounding level.
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_jit_matches_eager():
+    scene, cfg = build_scene("sphere", dtype=jnp.float32)
+    cfg = cfg.replace(width=16, height=16)
+    a = np.asarray(render_image(scene, cfg))
+    b = np.asarray(render_image_jit(scene, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-6)
