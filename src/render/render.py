@@ -91,7 +91,16 @@ def _trace_mesh_brute(scene: Scene, cfg: RenderConfig, o, d):
 
 
 def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
-    raise NotImplementedError("uniform-grid DDA lands in the grid milestone")
+    from src.kernels.dda import intersect_grid
+
+    assert scene.grid is not None, "call scene.with_grid() before mesh_grid renders"
+    res = intersect_grid(scene.mesh, scene.grid, o, d, t_max=cfg.t_far)
+    tri = jax.lax.stop_gradient(res.tri)
+    t, _u, _v, n = mt.recompute_hit(scene.mesh, o, d, tri)
+    t = jnp.where(res.hit, t, BIG)
+    p = o + t[..., None] * d
+    mat = jnp.where(res.hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
+    return t, res.hit, p, n, mat
 
 
 def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
@@ -100,9 +109,12 @@ def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
         return _trace_sdf(scene, cfg, o, d)
     if method == "mesh_brute":
         return _trace_mesh_brute(scene, cfg, o, d)
+    if method == "mesh_grid":
+        return _trace_mesh_grid(scene, cfg, o, d)
     if method == "mixed":
         ts, hs, ps, ns, ms = _trace_sdf(scene, cfg, o, d)
-        tm, hm, pm, nm, mm = _trace_mesh_brute(scene, cfg, o, d)
+        mesh_trace = _trace_mesh_grid if scene.grid is not None else _trace_mesh_brute
+        tm, hm, pm, nm, mm = mesh_trace(scene, cfg, o, d)
         ts_eff = jnp.where(hs, ts, BIG)
         tm_eff = jnp.where(hm, tm, BIG)
         sdf_closer = ts_eff <= tm_eff
@@ -130,7 +142,12 @@ def make_occluder(scene: Scene, cfg: RenderConfig, method: str):
             else:
                 vis = vis * shading.sdf_hard_shadow(sdf_distance, scene.sdf, p, l_dir, cfg)
         if use_mesh:
-            blocked = mt.any_hit_brute(scene.mesh, p, l_dir, t_max=cfg.t_far)
+            if scene.grid is not None and method in ("mesh_grid", "mixed"):
+                from src.kernels.dda import any_hit_grid
+
+                blocked = any_hit_grid(scene.mesh, scene.grid, p, l_dir, t_max=cfg.t_far)
+            else:
+                blocked = mt.any_hit_brute(scene.mesh, p, l_dir, t_max=cfg.t_far)
             vis = vis * (1.0 - jax.lax.stop_gradient(blocked.astype(p.dtype)))
         return vis
 

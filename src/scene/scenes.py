@@ -120,7 +120,7 @@ def bunny_scene(dtype=jnp.float32):
     mesh = concat_meshes(body, ground)
     cam = Camera.make((0.0, 1.7, 3.6), (0.0, 0.9, 0.0), vfov_deg=45.0, dtype=dtype)
     scene = _base(dtype, cam, mesh=mesh,
-                  albedos=[[0.82, 0.71, 0.55], [0.7, 0.73, 0.72]])
+                  albedos=[[0.82, 0.71, 0.55], [0.7, 0.73, 0.72]]).with_grid()
     cfg = RenderConfig(width=512, height=512, spp=1, method="mesh_grid",
                        shadow="hard", t_far=40.0)
     return scene, cfg
@@ -168,7 +168,7 @@ def mixed_scene(dtype=jnp.float32):
     cam = Camera.make((0.1, 1.9, 4.6), (0.0, 0.9, 0.0), vfov_deg=48.0, dtype=dtype)
     scene = _base(dtype, cam, sdf=sdf, mesh=mesh,
                   albedos=[[0.82, 0.71, 0.55], [0.68, 0.7, 0.7],
-                           [0.85, 0.45, 0.3], [0.3, 0.5, 0.85]])
+                           [0.85, 0.45, 0.3], [0.3, 0.5, 0.85]]).with_grid()
     cfg = RenderConfig(width=1920, height=1080, spp=16, method="mixed",
                        shadow="hard", max_steps=96, eps=1e-3, t_far=40.0,
                        block_size=1 << 18)

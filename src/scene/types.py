@@ -58,6 +58,19 @@ class Scene:
     lights: Lights
     bg_top: jnp.ndarray  # (3,) sky gradient top color
     bg_bottom: jnp.ndarray  # (3,)
+    # uniform-grid accel over `mesh` (src/accel/grid_build.py); None until
+    # built. Selection-only: not a differentiable parameter.
+    grid: Optional[object] = None
+
+    def with_grid(self, density: float = 5.0) -> "Scene":
+        """Voxelize the mesh (host-side) and attach the uniform grid."""
+        import numpy as np
+
+        from src.accel.grid_build import build_grid
+
+        g = build_grid(np.asarray(self.mesh.verts), np.asarray(self.mesh.tris),
+                       density=density)
+        return self.replace(grid=g)
 
     @property
     def has_sdf(self) -> bool:
