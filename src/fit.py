@@ -1,0 +1,186 @@
+"""The differentiable fit loop: optimize scene parameters against a target
+image (inverse rendering).
+
+New component with no reference counterpart (SURVEY.md §2c, §3.5): the whole
+point of making the renderer differentiable. Any float leaf of the Scene
+pytree can be optimized, addressed by dotted path ("sdf.sph_radius",
+"camera.origin", "mesh.verts", "materials.albedo", ...).
+
+Two training-step flavors:
+  * `make_fit_step`        — single-device (or auto-sharded jit);
+  * `make_sharded_fit_step`— explicit shard_map data-parallel step: each chip
+    renders + differentiates its pixel shard, parameter grads all-reduce via
+    bucketed psums inside the backward region so XLA overlaps them with the
+    remaining backward sweep (SURVEY.md §2b P6).
+
+Checkpoint/resume via orbax lives in utils/checkpoint.py (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from src.dist.grad_allreduce import psum_buckets
+from src.dist.sharding import RAY_AXIS, _pad_to
+from src.render.camera import generate_rays
+from src.render.render import pixel_sample_coords, render_image, render_rays, resolve_method
+from src.scene.types import Scene
+from src.utils.config import FitConfig, RenderConfig
+
+ParamDict = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Dotted-path parameter access on the Scene pytree
+# ---------------------------------------------------------------------------
+
+def get_param(scene, path: str):
+    obj = scene
+    for part in path.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _set(obj, parts, value):
+    if len(parts) == 1:
+        return obj.replace(**{parts[0]: value})
+    return obj.replace(**{parts[0]: _set(getattr(obj, parts[0]), parts[1:], value)})
+
+
+def set_param(scene, path: str, value):
+    return _set(scene, path.split("."), value)
+
+
+def extract_params(scene, paths: Sequence[str]) -> ParamDict:
+    return {p: get_param(scene, p) for p in paths}
+
+
+def apply_params(scene, params: ParamDict):
+    for p, v in params.items():
+        scene = set_param(scene, p, v)
+    return scene
+
+
+# ---------------------------------------------------------------------------
+# Training steps
+# ---------------------------------------------------------------------------
+
+def make_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
+                  optimizer: optax.GradientTransformation):
+    """jit'd (params, opt_state) -> (params, opt_state, loss). Single device."""
+
+    def loss_fn(params: ParamDict):
+        img = render_image(apply_params(scene, params), cfg)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(params: ParamDict, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
+                          optimizer: optax.GradientTransformation, mesh,
+                          grad_buckets: int = 4):
+    """Data-parallel fit step over a device mesh (pixel-shard DP).
+
+    target: (H, W, 3) full target image (replicated in; sharded internally).
+    Loss/grads are exact global quantities (bucketed psum inside shard_map).
+    """
+    dtype = scene.camera.origin.dtype
+    method = resolve_method(scene, cfg)
+    n_dev = mesh.devices.size
+    sx, sy = pixel_sample_coords(cfg, dtype)  # (H, W, spp)
+    R = sx.size
+    flat_x, _ = _pad_to(sx.ravel(), n_dev)
+    flat_y, _ = _pad_to(sy.ravel(), n_dev)
+    # per-sample target, padded the same way; weight marks padding lanes
+    tgt = jnp.broadcast_to(target[:, :, None, :], sx.shape + (3,)).reshape(-1, 3)
+    tgt, _ = _pad_to(tgt, n_dev)
+    w = jnp.ones((R,), dtype)
+    w, _ = _pad_to(jnp.concatenate([w, jnp.zeros((flat_x.shape[0] - R,), dtype)])
+                   if flat_x.shape[0] != R else w, n_dev)
+
+    denom = jnp.asarray(R * 3, dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def loss_and_grad(params, xs, ys, t, wt):
+        def local_loss(params_):
+            s = apply_params(scene, params_)
+            o, d = generate_rays(s.camera, xs, ys, cfg.width, cfg.height)
+            colors = render_rays(s, cfg, o, d, method)
+            return jnp.sum(wt[:, None] * (colors - t) ** 2) / denom
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        grads = psum_buckets(grads, RAY_AXIS, grad_buckets)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        return loss, grads
+
+    @jax.jit
+    def step(params: ParamDict, opt_state):
+        loss, grads = loss_and_grad(params, flat_x, flat_y, tgt, w)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# The loop
+# ---------------------------------------------------------------------------
+
+def fit(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
+        trainable: Sequence[str], fit_cfg: FitConfig = FitConfig(),
+        mesh=None, verbose: bool = True) -> Tuple[Scene, list]:
+    """Optimize `trainable` scene leaves to match `target`. Returns
+    (fitted_scene, loss_history). Checkpoints + resume if checkpoint_dir set."""
+    from src.utils import checkpoint as ckpt_lib
+
+    params = extract_params(scene, trainable)
+    optimizer = optax.adam(fit_cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    start_step = 0
+
+    mngr = None
+    if fit_cfg.checkpoint_dir:
+        mngr = ckpt_lib.make_manager(fit_cfg.checkpoint_dir)
+        restored = ckpt_lib.restore_latest(mngr, params, opt_state)
+        if restored is not None:
+            params, opt_state, start_step = restored
+            if verbose:
+                print(f"[fit] resumed from step {start_step}")
+
+    if mesh is not None:
+        step_fn = make_sharded_fit_step(scene, cfg, target, optimizer, mesh)
+    else:
+        step_fn = make_fit_step(scene, cfg, target, optimizer)
+
+    history = []
+    for i in range(start_step, fit_cfg.steps):
+        params, opt_state, loss = step_fn(params, opt_state)
+        history.append(float(loss))
+        if verbose and (i % fit_cfg.log_every == 0 or i == fit_cfg.steps - 1):
+            print(f"[fit] step {i} loss {float(loss):.3e}")
+        if mngr is not None and (i + 1) % fit_cfg.checkpoint_every == 0:
+            ckpt_lib.save(mngr, i + 1, params, opt_state)
+    if mngr is not None:
+        ckpt_lib.save(mngr, fit_cfg.steps, params, opt_state)
+        mngr.wait_until_finished()
+    return apply_params(scene, params), history
