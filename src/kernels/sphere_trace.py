@@ -58,21 +58,30 @@ def march(de_fn: Callable, scene, o, d, *, t0, max_steps: int, eps: float, t_far
 
 
 def make_sphere_tracer(de_fn: Callable, *, max_steps: int, eps: float, t_far: float,
-                       t0: float = 0.0):
+                       t0: float = 0.0, forward_impl: str = "jnp"):
     """Build a differentiable tracer trace(scene, o, d) -> (t, hit, steps).
 
     Gradients flow into scene params, o and d via the IFT at the hit point;
     non-hit rays contribute zero gradient. `steps` is diagnostic (int32).
+
+    forward_impl: "jnp" (lockstep batch march) or "pallas" (fused (8,128)
+    ray-tile kernel with per-tile early exit, src/kernels/pallas_sdf.py).
+    The backward pass is the SAME IFT pullback either way — only the forward
+    fixed-point solver changes, so gradients are bit-compatible.
     """
 
     @jax.custom_vjp
     def trace(scene, o, d):
-        t, hit, steps = march(
-            de_fn, jax.lax.stop_gradient(scene), jax.lax.stop_gradient(o),
-            jax.lax.stop_gradient(d), t0=t0, max_steps=max_steps, eps=eps,
-            t_far=t_far,
-        )
-        return t, hit, steps
+        scene_s = jax.lax.stop_gradient(scene)
+        o_s = jax.lax.stop_gradient(o)
+        d_s = jax.lax.stop_gradient(d)
+        if forward_impl == "pallas":
+            from src.kernels.pallas_sdf import march_pallas
+
+            return march_pallas(scene_s, o_s, d_s, t0=t0, max_steps=max_steps,
+                                eps=eps, t_far=t_far)
+        return march(de_fn, scene_s, o_s, d_s, t0=t0, max_steps=max_steps,
+                     eps=eps, t_far=t_far)
 
     def fwd(scene, o, d):
         t, hit, steps = trace(scene, o, d)

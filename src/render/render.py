@@ -68,9 +68,19 @@ def pixel_sample_coords(cfg: RenderConfig, dtype=jnp.float32):
 # Intersection dispatch
 # ---------------------------------------------------------------------------
 
+def use_pallas(cfg: RenderConfig, dtype) -> bool:
+    if cfg.pallas == "off":
+        return False
+    if cfg.pallas == "on":
+        return True
+    return jax.default_backend() == "tpu" and dtype == jnp.float32
+
+
 def _trace_sdf(scene: Scene, cfg: RenderConfig, o, d):
+    impl = "pallas" if use_pallas(cfg, o.dtype) else "jnp"
     tracer = make_sphere_tracer(
-        sdf_distance, max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far
+        sdf_distance, max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far,
+        forward_impl=impl,
     )
     t, hit, _steps = tracer(scene.sdf, o, d)
     p = o + t[..., None] * d
@@ -137,7 +147,18 @@ def make_occluder(scene: Scene, cfg: RenderConfig, method: str):
     def occluder(p, l_dir):
         vis = jnp.ones(p.shape[:-1], p.dtype)
         if use_sdf:
-            if cfg.shadow == "soft":
+            pallas_ok = use_pallas(cfg, p.dtype) and (
+                cfg.shadow == "hard" or not cfg.diff_vis)
+            if pallas_ok:
+                from src.kernels.pallas_sdf import shadow_pallas
+
+                v = shadow_pallas(
+                    jax.lax.stop_gradient(scene.sdf), jax.lax.stop_gradient(p),
+                    jax.lax.stop_gradient(l_dir), soft=(cfg.shadow == "soft"),
+                    eps=cfg.eps, t_far=cfg.t_far, steps=cfg.shadow_steps,
+                    bias=cfg.shadow_bias, soft_k=cfg.soft_k)
+                vis = vis * v
+            elif cfg.shadow == "soft":
                 vis = vis * shading.sdf_soft_shadow(sdf_distance, scene.sdf, p, l_dir, cfg)
             else:
                 vis = vis * shading.sdf_hard_shadow(sdf_distance, scene.sdf, p, l_dir, cfg)

@@ -46,6 +46,11 @@ class RenderConfig:
     # bound memory — the TPU analog of the reference's tile scheduler granule.
     block_size: int = 0  # 0 = whole image in one block
 
+    # Pallas kernel dispatch for the SDF hot loops (src/kernels/pallas_sdf.py):
+    # "auto" = on TPU with float32; "on"/"off" force. The soft-shadow Pallas
+    # path additionally requires diff_vis=False (it is forward-only).
+    pallas: str = "auto"
+
     def __post_init__(self):
         k = int(round(math.sqrt(self.spp)))
         if k * k != self.spp:

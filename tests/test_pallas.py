@@ -1,0 +1,116 @@
+"""Pallas kernel tests (interpret mode on CPU, SURVEY.md §4.4): the fused
+tile kernels must reproduce the jnp reference paths exactly (same op order),
+and gradients through the pallas-forward tracer must equal the jnp-forward
+tracer (shared IFT backward)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from src.kernels.pallas_sdf import de_tile, march_pallas, shadow_pallas
+from src.kernels.sphere_trace import make_sphere_tracer, march
+from src.render import shading
+from src.render.render import render_image
+from src.scene.scenes import build_scene
+from src.sdf.primitives import sdf_distance
+
+
+def _rays(n=300, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    o = np.tile([0.0, 1.2, 3.2], (n, 1))
+    tgt = rng.uniform([-1.2, 0.0, -1.0], [1.2, 2.2, 1.0], (n, 3))
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, dtype), jnp.asarray(d, dtype)
+
+
+def test_de_tile_matches_generic():
+    for name in ("sphere", "mandelbulb", "mixed"):
+        scene, _ = build_scene(name, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        p = jnp.asarray(rng.uniform(-2, 2, (8, 128, 3)), jnp.float32)
+        want = np.asarray(sdf_distance(scene.sdf, p))
+        got = np.asarray(de_tile(scene.sdf, p[..., 0], p[..., 1], p[..., 2]))
+        err = np.abs(got - want)
+        if scene.sdf.mb_center.shape[0]:
+            # fractal DE is chaotic: f32 summation-order differences amplify
+            # through the iteration for points near/inside the set boundary
+            assert np.quantile(err, 0.995) < 1e-5 and err.max() < 0.05
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_march_pallas_matches_jnp():
+    for name in ("sphere", "mandelbulb"):
+        scene, cfg = build_scene(name, dtype=jnp.float32)
+        o, d = _rays(300)  # non-multiple of 1024 -> padding path
+        tj, hj, sj = march(sdf_distance, scene.sdf, o, d, t0=0.0,
+                           max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far)
+        tp, hp, sp = march_pallas(scene.sdf, o, d, t0=0.0,
+                                  max_steps=cfg.max_steps, eps=cfg.eps,
+                                  t_far=cfg.t_far, interpret=True)
+        hp_, hj_ = np.asarray(hp), np.asarray(hj)
+        terr = np.abs(np.asarray(tp) - np.asarray(tj))
+        if name == "mandelbulb":
+            # chaotic DE + polynomial atan2 (~2e-7) amplified by the
+            # iteration: both marches land within an eps-band of the surface
+            assert (hp_ == hj_).mean() > 0.99
+            same = hp_ == hj_
+            assert np.quantile(terr[same], 0.99) < 2e-3
+        else:
+            np.testing.assert_array_equal(hp_, hj_)
+            # summation-order rounding drifts t by ~1 ulp/step on long rays
+            np.testing.assert_allclose(np.asarray(tp), np.asarray(tj),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(sp), np.asarray(sj))
+
+
+def test_shadow_pallas_matches_jnp():
+    scene, cfg = build_scene("mandelbulb", dtype=jnp.float32)
+    o, d = _rays(200, seed=3)
+    t, hit, _ = march(sdf_distance, scene.sdf, o, d, t0=0.0,
+                      max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far)
+    p = o + t[:, None] * d
+    lv = np.asarray([0.5, 0.75, 0.45])
+    l = jnp.broadcast_to(jnp.asarray(lv / np.linalg.norm(lv), jnp.float32), p.shape)
+    for soft in (False, True):
+        if soft:
+            want = shading.sdf_soft_shadow(sdf_distance, scene.sdf, p, l, cfg)
+        else:
+            want = shading.sdf_hard_shadow(sdf_distance, scene.sdf, p, l, cfg)
+        got = shadow_pallas(scene.sdf, p, l, soft=soft, eps=cfg.eps,
+                            t_far=cfg.t_far, steps=cfg.shadow_steps,
+                            bias=cfg.shadow_bias, soft_k=cfg.soft_k,
+                            interpret=True)
+        err = np.abs(np.asarray(got) - np.asarray(want))
+        # polynomial atan2 in the fractal DE shifts soft-shadow factors a bit
+        assert np.quantile(err, 0.95) < 2e-3 and err.max() < 0.2
+
+
+def test_tracer_gradients_pallas_forward_equals_jnp_forward():
+    scene, _ = build_scene("sphere", dtype=jnp.float32)
+    o, d = _rays(64, seed=5)
+    kw = dict(max_steps=128, eps=1e-4, t_far=20.0)
+    tr_j = make_sphere_tracer(sdf_distance, **kw, forward_impl="jnp")
+    tr_p = make_sphere_tracer(sdf_distance, **kw, forward_impl="pallas")
+
+    def loss(tracer, radius):
+        t, hit, _ = tracer(scene.sdf.replace(sph_radius=radius), o, d)
+        return jnp.sum(jnp.where(hit, t, 0.0))
+
+    r0 = jnp.asarray([1.0], jnp.float32)
+    with jax.disable_jit():  # interpret-mode pallas inside grad trace
+        g_j = jax.grad(lambda r: loss(tr_j, r))(r0)
+        g_p = jax.grad(lambda r: loss(tr_p, r))(r0)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), rtol=1e-5)
+
+
+def test_render_pallas_on_matches_off():
+    scene, cfg = build_scene("mandelbulb", dtype=jnp.float32)
+    cfg = cfg.replace(width=24, height=24, spp=1, block_size=0, diff_vis=False)
+    a = np.asarray(render_image(scene, cfg.replace(pallas="off")))
+    b = np.asarray(render_image(scene, cfg.replace(pallas="on")))
+    err = np.abs(a - b).max(-1)
+    # polynomial atan2 inside the fractal march: small shifts everywhere,
+    # occasional silhouette-pixel flip
+    assert np.quantile(err, 0.95) < 5e-3 and err.max() < 1.0
