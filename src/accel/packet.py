@@ -1,0 +1,118 @@
+"""Packet-brute acceleration structure: Morton-sorted triangle chunks with
+per-chunk AABBs, for the TPU Pallas mesh-intersection kernel.
+
+This is the TPU-native redesign of the reference's uniform grid (SURVEY.md §7
+hard part 1). The grid + 3D-DDA is the right structure for a scalar CPU, but
+on TPU its per-ray CSR gathers are HBM-traffic-bound and Mosaic has no
+general gather. Instead, triangles are sorted by centroid Morton code so that
+each 128-triangle chunk is spatially compact, and each chunk gets a
+precomputed AABB. The kernel (src/kernels/pallas_mt.py) slab-tests a chunk's
+AABB against a whole (8,128) ray tile and skips chunks no ray can improve on
+— the same work-culling role as grid traversal, but branch-at-tile
+granularity with ZERO gathers and all data VMEM-resident. Per-triangle data
+is stored pre-gathered as (9, T) rows (v0, e1, e2 components), so the
+Möller–Trumbore inner loop is pure broadcast arithmetic.
+
+The structure is selection-only (not differentiated); hits are recomputed
+differentiably from the original mesh via moller_trumbore.recompute_hit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+CHUNK = 128  # triangles per chunk = one VPU lane row
+
+
+ROWS_PER_CHUNK = 16  # 9 data rows (v0/e1/e2 xyz) + 7 pad, sublane-aligned
+
+
+@struct.dataclass
+class PacketAccel:
+    # per-chunk row blocks: rows [ci*16 .. ci*16+8] hold v0.xyz, e1.xyz,
+    # e2.xyz for the chunk's 128 triangles (lane = triangle-in-chunk).
+    # Layout chosen for Mosaic: dynamic slicing is sublane-only, so chunk
+    # data is reached by a dynamic SUBLANE slice of 16 aligned rows.
+    corners: jnp.ndarray  # (C*16, 128) float32
+    # row ci lanes 0..5 = [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z]
+    chunk_aabb: jnp.ndarray  # (C, 128) float32
+    perm: jnp.ndarray  # (Tpad,) int32: sorted position -> original tri id (-1 pad)
+    num_tris: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_chunks(self) -> int:
+        return self.corners.shape[0] // ROWS_PER_CHUNK
+
+
+def _morton3(x: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Interleave 3x bits-bit ints into Morton codes. x: (N, 3) ints."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
+        return v
+
+    return (spread(x[:, 0]) << np.uint64(2)) | (spread(x[:, 1]) << np.uint64(1)) | spread(x[:, 2])
+
+
+def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
+    verts = np.asarray(verts, np.float64)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    T = tris.shape[0]
+    if T == 0:
+        aabb = np.zeros((1, 128), np.float32)
+        aabb[0, :3] = 1e10
+        aabb[0, 3:6] = -1e10
+        return PacketAccel(
+            corners=jnp.zeros((ROWS_PER_CHUNK, CHUNK), jnp.float32),
+            chunk_aabb=jnp.asarray(aabb),
+            perm=jnp.full((CHUNK,), -1, jnp.int32),
+            num_tris=0,
+        )
+
+    tv = verts[tris]  # (T, 3, 3)
+    centroid = tv.mean(1)
+    lo = centroid.min(0)
+    extent = np.maximum(centroid.max(0) - lo, 1e-12)
+    q = np.clip(((centroid - lo) / extent * 1023).astype(np.int64), 0, 1023)
+    order = np.argsort(_morton3(q), kind="stable")
+
+    tv = tv[order]
+    Tpad = -(-T // CHUNK) * CHUNK
+    pad = Tpad - T
+    if pad:
+        tv = np.concatenate([tv, np.zeros((pad, 3, 3))], 0)  # degenerate pad
+    v0 = tv[:, 0]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    data9 = np.concatenate([v0.T, e1.T, e2.T], 0)  # (9, Tpad)
+
+    C = Tpad // CHUNK
+    corners = np.zeros((C * ROWS_PER_CHUNK, CHUNK), np.float32)
+    for ci in range(C):
+        corners[ci * ROWS_PER_CHUNK: ci * ROWS_PER_CHUNK + 9] = \
+            data9[:, ci * CHUNK:(ci + 1) * CHUNK]
+
+    tmin = tv.min(1).reshape(C, CHUNK, 3)
+    tmax = tv.max(1).reshape(C, CHUNK, 3)
+    # padded (degenerate-at-origin) triangles must not inflate the AABB
+    valid = np.concatenate([np.ones(T, bool), np.zeros(pad, bool)]).reshape(C, CHUNK)
+    big = 1e10
+    lo_c = np.where(valid[..., None], tmin, big).min(1)  # (C, 3)
+    hi_c = np.where(valid[..., None], tmax, -big).max(1)
+    aabb = np.zeros((C, 128), np.float32)
+    aabb[:, 0:3] = lo_c
+    aabb[:, 3:6] = hi_c
+
+    perm = np.concatenate([order, np.full(pad, -1, np.int64)])
+    return PacketAccel(
+        corners=jnp.asarray(corners, jnp.float32),
+        chunk_aabb=jnp.asarray(aabb),
+        perm=jnp.asarray(perm, jnp.int32),
+        num_tris=T,
+    )

@@ -101,10 +101,15 @@ def _trace_mesh_brute(scene: Scene, cfg: RenderConfig, o, d):
 
 
 def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
-    from src.kernels.dda import intersect_grid
+    if scene.packet is not None and use_pallas(cfg, o.dtype):
+        from src.kernels.pallas_mt import intersect_packet
 
-    assert scene.grid is not None, "call scene.with_grid() before mesh_grid renders"
-    res = intersect_grid(scene.mesh, scene.grid, o, d, t_max=cfg.t_far)
+        res = intersect_packet(scene.packet, o, d, t_max=cfg.t_far)
+    else:
+        from src.kernels.dda import intersect_grid
+
+        assert scene.grid is not None, "call scene.with_grid() before mesh_grid renders"
+        res = intersect_grid(scene.mesh, scene.grid, o, d, t_max=cfg.t_far)
     tri = jax.lax.stop_gradient(res.tri)
     t, _u, _v, n = mt.recompute_hit(scene.mesh, o, d, tri)
     t = jnp.where(res.hit, t, BIG)
@@ -163,7 +168,12 @@ def make_occluder(scene: Scene, cfg: RenderConfig, method: str):
             else:
                 vis = vis * shading.sdf_hard_shadow(sdf_distance, scene.sdf, p, l_dir, cfg)
         if use_mesh:
-            if scene.grid is not None and method in ("mesh_grid", "mixed"):
+            if (scene.packet is not None and method in ("mesh_grid", "mixed")
+                    and use_pallas(cfg, p.dtype)):
+                from src.kernels.pallas_mt import any_hit_packet
+
+                blocked = any_hit_packet(scene.packet, p, l_dir, t_max=cfg.t_far)
+            elif scene.grid is not None and method in ("mesh_grid", "mixed"):
                 from src.kernels.dda import any_hit_grid
 
                 blocked = any_hit_grid(scene.mesh, scene.grid, p, l_dir, t_max=cfg.t_far)

@@ -58,19 +58,26 @@ class Scene:
     lights: Lights
     bg_top: jnp.ndarray  # (3,) sky gradient top color
     bg_bottom: jnp.ndarray  # (3,)
-    # uniform-grid accel over `mesh` (src/accel/grid_build.py); None until
-    # built. Selection-only: not a differentiable parameter.
+    # mesh acceleration structures (selection-only, not differentiable):
+    # `grid`   — uniform grid + DDA (src/accel/grid_build.py), the XLA path;
+    # `packet` — Morton-chunked packet accel (src/accel/packet.py), the
+    #            Pallas TPU path. Both None until built.
     grid: Optional[object] = None
+    packet: Optional[object] = None
 
     def with_grid(self, density: float = 5.0) -> "Scene":
-        """Voxelize the mesh (host-side) and attach the uniform grid."""
+        """Build the mesh acceleration structures (host-side)."""
         import numpy as np
 
         from src.accel.grid_build import build_grid
+        from src.accel.packet import build_packet_accel
 
-        g = build_grid(np.asarray(self.mesh.verts), np.asarray(self.mesh.tris),
-                       density=density)
-        return self.replace(grid=g)
+        verts = np.asarray(self.mesh.verts)
+        tris = np.asarray(self.mesh.tris)
+        return self.replace(
+            grid=build_grid(verts, tris, density=density),
+            packet=build_packet_accel(verts, tris),
+        )
 
     @property
     def has_sdf(self) -> bool:

@@ -114,3 +114,39 @@ def test_render_pallas_on_matches_off():
     # polynomial atan2 inside the fractal march: small shifts everywhere,
     # occasional silhouette-pixel flip
     assert np.quantile(err, 0.95) < 5e-3 and err.max() < 1.0
+
+
+def test_packet_accel_matches_brute():
+    """Packet-brute kernel (interpret mode) vs brute-force MT: the classic
+    accelerator oracle, for the TPU-native chunk-culled structure."""
+    from src.accel.packet import build_packet_accel
+    from src.kernels.pallas_mt import any_hit_packet, intersect_packet
+    from src.kernels import moller_trumbore as mt
+    from src.scene.mesh import MeshScene, torus_knot
+
+    v, f = torus_knot(2, 3, 24, 24)
+    mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
+    accel = build_packet_accel(v, f)
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-3, 3, (500, 3)), jnp.float32)
+    dd = rng.normal(size=(500, 3))
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    got = intersect_packet(accel, o, d, interpret=True)
+    want = mt.intersect_brute(mesh, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.tri)[h], np.asarray(want.tri)[h])
+    ah = any_hit_packet(accel, o, d, t_max=4.0, interpret=True)
+    bh = mt.any_hit_brute(mesh, o, d, t_max=4.0)
+    np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
+
+
+def test_bunny_render_packet_matches_grid():
+    """Full-pipeline: packet-kernel render == DDA render on the bunny scene."""
+    scene, cfg = build_scene("bunny", dtype=jnp.float32)
+    cfg = cfg.replace(width=24, height=24, block_size=0)
+    a = np.asarray(render_image(scene, cfg.replace(pallas="off")))
+    b = np.asarray(render_image(scene, cfg.replace(pallas="on")))
+    np.testing.assert_allclose(a, b, atol=2e-5)
