@@ -204,10 +204,10 @@ def _use_interpret():
 def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
                  t0: float, max_steps: int, eps: float, t_far: float,
                  interpret: bool | None = None):
-    """Forward sphere-trace march: (R,3),(R,3) -> (t, hit, steps).
+    """Forward sphere-trace march: (R,3),(R,3) -> (t, hit, steps, t_min).
 
-    Identical step rule to sphere_trace.march; per-tile early exit. `steps`
-    reports the per-lane active-step count like the jnp version.
+    Identical step rule (and t_min closest-approach tracking) to
+    sphere_trace.march; per-tile early exit; `steps` is diagnostic.
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -222,7 +222,7 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
     def kernel(*refs):
         ox, oy, oz, dx, dy, dz = (refs[i][:] for i in range(6))
         sdf_k = rebuild([refs[6 + i][:] for i in range(len(operands))])
-        t_ref, hit_ref, steps_ref = refs[6 + len(operands):]
+        t_ref, hit_ref, steps_ref, tmin_ref = refs[6 + len(operands):]
 
         # carry state as f32 tiles derived from a VMEM read: Mosaic cannot
         # relayout replicated-constant inits to the loop body's tiled layout,
@@ -231,38 +231,45 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
         t_init = zero + t0
         hit0 = zero  # 0.0 = not hit
         steps0 = zero
+        dmin0 = zero + 1e10
+        tmin0 = t_init
 
         def cond(carry):
-            step, t, hit, _ = carry
+            step, t, hit, _s, _dm, _tm = carry
             active = (hit < 0.5) & (t < t_far)
             return (step < max_steps) & jnp.any(active)
 
         def body(carry):
-            step, t, hit, steps = carry
+            step, t, hit, steps, dmin, tmin = carry
             active = (hit < 0.5) & (t < t_far)
             dist = de_tile(sdf_k, ox + t * dx, oy + t * dy, oz + t * dz)
+            closer = active & (dist < dmin)
+            dmin = jnp.where(closer, dist, dmin)
+            tmin = jnp.where(closer, t, tmin)
             hit_now = active & (dist < eps)
             hit = jnp.maximum(hit, hit_now.astype(dtype))
             advance = active & (~hit_now)
             t = jnp.where(advance, t + dist, t)
             steps = steps + active.astype(dtype)
-            return step + 1, t, hit, steps
+            return step + 1, t, hit, steps, dmin, tmin
 
-        _, t, hit, steps = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t_init, hit0, steps0))
+        _, t, hit, steps, _dmin, tmin = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t_init, hit0, steps0, dmin0, tmin0))
         t_ref[:] = t
         hit_ref[:] = (hit > 0.5).astype(jnp.int32)
         steps_ref[:] = steps.astype(jnp.int32)
+        tmin_ref[:] = tmin
 
     out_shape = [
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), jnp.int32),
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), jnp.int32),
+        jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
     ]
     in_specs = (_ray_specs(6, nt) + [_full_spec(op) for op in operands])
-    out_specs = [pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)] * 3
+    out_specs = [pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)] * 4
 
-    t, hit, steps = pl.pallas_call(
+    t, hit, steps, tmin = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=in_specs,
@@ -271,7 +278,7 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
         interpret=interpret,
     )(*tiles, *operands)
     flat = lambda a: a.reshape(-1)[:R]
-    return flat(t), flat(hit).astype(bool), flat(steps)
+    return flat(t), flat(hit).astype(bool), flat(steps), flat(tmin)
 
 
 # ---------------------------------------------------------------------------

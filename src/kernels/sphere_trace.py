@@ -33,28 +33,39 @@ _DENOM_MIN = 1e-6
 
 
 def march(de_fn: Callable, scene, o, d, *, t0, max_steps: int, eps: float, t_far: float):
-    """Forward march only (no custom gradient): returns (t, hit, steps).
+    """Forward march only (no custom gradient): returns (t, hit, steps, t_min).
 
     de_fn(scene, p) evaluates the distance field batched: (..., 3) -> (...,).
     o, d: (..., 3); t0: scalar or (...,) initial distance along the ray.
+    t_min is the ray parameter at which the smallest DE was observed — the
+    closest-approach point, used for differentiable soft silhouettes
+    (render.py): re-evaluating DE there with gradients gives a smooth
+    signed "miss distance" even for rays that never hit.
     """
     dtype = o.dtype
     t_init = jnp.broadcast_to(jnp.asarray(t0, dtype), o.shape[:-1])
     hit0 = jnp.zeros(o.shape[:-1], bool)
     steps0 = jnp.zeros(o.shape[:-1], jnp.int32)
+    dmin0 = jnp.full(o.shape[:-1], 1e10, dtype)
+    tmin0 = t_init
 
     def body(_, carry):
-        t, hit, steps = carry
+        t, hit, steps, dmin, tmin = carry
         active = (~hit) & (t < t_far)
         dist = de_fn(scene, o + t[..., None] * d)
+        closer = active & (dist < dmin)
+        dmin = jnp.where(closer, dist, dmin)
+        tmin = jnp.where(closer, t, tmin)
         hit_now = active & (dist < eps)
         hit = hit | hit_now
         advance = active & (~hit_now)
         t = jnp.where(advance, t + dist, t)
         steps = steps + active.astype(jnp.int32)
-        return t, hit, steps
+        return t, hit, steps, dmin, tmin
 
-    return jax.lax.fori_loop(0, max_steps, body, (t_init, hit0, steps0))
+    t, hit, steps, _dmin, tmin = jax.lax.fori_loop(
+        0, max_steps, body, (t_init, hit0, steps0, dmin0, tmin0))
+    return t, hit, steps, tmin
 
 
 def make_sphere_tracer(de_fn: Callable, *, max_steps: int, eps: float, t_far: float,
@@ -84,12 +95,14 @@ def make_sphere_tracer(de_fn: Callable, *, max_steps: int, eps: float, t_far: fl
                      eps=eps, t_far=t_far)
 
     def fwd(scene, o, d):
-        t, hit, steps = trace(scene, o, d)
-        return (t, hit, steps), (scene, o, d, t, hit)
+        t, hit, steps, tmin = trace(scene, o, d)
+        return (t, hit, steps, tmin), (scene, o, d, t, hit)
 
     def bwd(res, cts):
         scene, o, d, t, hit = res
-        ct_t = cts[0]  # cotangents of hit/steps are symbolic zeros; ignored
+        # cotangents of hit/steps are symbolic zeros; tmin is a sampling
+        # location (the soft-silhouette path re-evaluates DE there itself)
+        ct_t = cts[0]
         # g(scene, o, d) = DE(o + t̄ d; scene) with t̄ held fixed.
         t_bar = t  # already non-differentiated (residual)
 

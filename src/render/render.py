@@ -82,12 +82,25 @@ def _trace_sdf(scene: Scene, cfg: RenderConfig, o, d):
         sdf_distance, max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far,
         forward_impl=impl,
     )
-    t, hit, _steps = tracer(scene.sdf, o, d)
-    p = o + t[..., None] * d
+    t, hit, _steps, tmin = tracer(scene.sdf, o, d)
+    if cfg.soft_silhouette > 0.0:
+        # differentiable coverage: re-evaluate the DE at the closest-approach
+        # point (tmin, a stop-gradient sampling location) WITH gradients; a
+        # sigmoid of the miss distance smooths the visibility step so
+        # silhouette motion (camera pose, object translation) has gradients
+        p_min = o + tmin[..., None] * d
+        d_min = sdf_distance(scene.sdf, p_min)
+        cov_miss = jax.nn.sigmoid(-d_min / cfg.soft_silhouette)
+        cov = jnp.where(hit, 1.0, cov_miss).astype(o.dtype)
+        t_eff = jnp.where(hit, t, tmin)
+    else:
+        cov = hit.astype(o.dtype)
+        t_eff = t
+    p = o + t_eff[..., None] * d
     n = surface_normal(sdf_distance, scene.sdf, p)
     _, mat = sdf_distance_and_mat(scene.sdf, jax.lax.stop_gradient(p))
     mat = jax.lax.stop_gradient(mat)
-    return t, hit, p, n, mat
+    return t, hit, p, n, mat, cov
 
 
 def _trace_mesh_brute(scene: Scene, cfg: RenderConfig, o, d):
@@ -97,7 +110,7 @@ def _trace_mesh_brute(scene: Scene, cfg: RenderConfig, o, d):
     t = jnp.where(res.hit, t, BIG)
     p = o + t[..., None] * d
     mat = jnp.where(res.hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
-    return t, res.hit, p, n, mat
+    return t, res.hit, p, n, mat, res.hit.astype(o.dtype)
 
 
 def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
@@ -115,7 +128,7 @@ def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
     t = jnp.where(res.hit, t, BIG)
     p = o + t[..., None] * d
     mat = jnp.where(res.hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
-    return t, res.hit, p, n, mat
+    return t, res.hit, p, n, mat, res.hit.astype(o.dtype)
 
 
 def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
@@ -127,9 +140,9 @@ def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
     if method == "mesh_grid":
         return _trace_mesh_grid(scene, cfg, o, d)
     if method == "mixed":
-        ts, hs, ps, ns, ms = _trace_sdf(scene, cfg, o, d)
+        ts, hs, ps, ns, ms, cs = _trace_sdf(scene, cfg, o, d)
         mesh_trace = _trace_mesh_grid if scene.grid is not None else _trace_mesh_brute
-        tm, hm, pm, nm, mm = mesh_trace(scene, cfg, o, d)
+        tm, hm, pm, nm, mm, cm = mesh_trace(scene, cfg, o, d)
         ts_eff = jnp.where(hs, ts, BIG)
         tm_eff = jnp.where(hm, tm, BIG)
         sdf_closer = ts_eff <= tm_eff
@@ -138,7 +151,9 @@ def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
         p = jnp.where(sdf_closer[..., None], ps, pm)
         n = jnp.where(sdf_closer[..., None], ns, nm)
         mat = jnp.where(sdf_closer, ms, mm)
-        return t, hit, p, n, mat
+        # soft SDF coverage applies only where the mesh does not hit in front
+        cov = jnp.where(hm & (~sdf_closer), cm, jnp.maximum(cs, cm))
+        return t, hit, p, n, mat, cov
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -200,10 +215,11 @@ def make_ao(scene: Scene, cfg: RenderConfig, method: str):
 def render_rays(scene: Scene, cfg: RenderConfig, o, d, method: str | None = None):
     """Trace + shade a flat ray batch: (R, 3),(R, 3) -> (R, 3) linear RGB."""
     method = method or resolve_method(scene, cfg)
-    t, hit, p, n, mat = trace_rays(scene, cfg, o, d, method)
+    t, hit, p, n, mat, cov = trace_rays(scene, cfg, o, d, method)
     occluder = make_occluder(scene, cfg, method)
     ao_fn = make_ao(scene, cfg, method)
-    return shading.shade(scene, cfg, p, n, d, mat, hit, occluder, ao_fn)
+    return shading.shade(scene, cfg, p, n, d, mat, hit, occluder, ao_fn,
+                         coverage=cov)
 
 
 def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:

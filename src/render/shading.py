@@ -85,8 +85,12 @@ def shade(
     hit: jnp.ndarray,  # (R,) bool
     occluder: Optional[Callable] = None,  # (p, l_dir) -> vis in [0,1]
     ao_fn: Optional[Callable] = None,  # (p, n) -> ao in [0,1]
+    coverage: Optional[jnp.ndarray] = None,  # (R,) float in [0,1]
 ) -> jnp.ndarray:
-    """Lambertian shade of hit rays; background color for misses. -> (R, 3)."""
+    """Lambertian shade of hit rays; background color for misses. -> (R, 3).
+
+    With `coverage` (soft silhouettes, render.py), the surface color is alpha-
+    blended over the background instead of hard-selected by `hit`."""
     albedo = scene.materials.albedo[mat_id]  # gather (R, 3)
     # face the normal against the incoming ray (two-sided shading)
     n = jnp.where(dot(n, d)[..., None] > 0.0, -n, n)
@@ -109,4 +113,6 @@ def shade(
 
     color = albedo * radiance
     bg = background_color(scene, d)
+    if coverage is not None:
+        return bg + coverage[..., None] * (color - bg)
     return jnp.where(hit[..., None], color, bg)

@@ -46,6 +46,15 @@ class RenderConfig:
     # bound memory — the TPU analog of the reference's tile scheduler granule.
     block_size: int = 0  # 0 = whole image in one block
 
+    # Differentiable soft silhouettes for SDF scenes: blend surface color over
+    # background with coverage sigmoid(-d_min / width), where d_min is the
+    # (differentiable) scene distance at each ray's closest-approach point.
+    # 0 = hard silhouettes (reference behavior). A small width (e.g. 0.01)
+    # gives visibility gradients at object edges — camera dolly and
+    # translation become optimizable, which hard visibility cannot provide
+    # (SURVEY.md §7 hard part 3).
+    soft_silhouette: float = 0.0
+
     # Pallas kernel dispatch for the SDF hot loops (src/kernels/pallas_sdf.py):
     # "auto" = on TPU with float32; "on"/"off" force. The soft-shadow Pallas
     # path additionally requires diff_vis=False (it is forward-only).

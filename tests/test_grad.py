@@ -119,7 +119,7 @@ def test_grad_mandelbulb_power_vs_true_root():
     oj, dj = jnp.asarray([o1]), jnp.asarray([d1])
     EPS = 1e-6
     tracer = make_sphere_tracer(sdf_distance, max_steps=2000, eps=EPS, t_far=20.0)
-    t0, hit, _ = tracer(sdf0, oj, dj)
+    t0, hit, _, _tm = tracer(sdf0, oj, dj)
     assert bool(hit[0])
 
     def de(power, t):
@@ -138,7 +138,7 @@ def test_grad_mandelbulb_power_vs_true_root():
         return 0.5 * (lo + hi)
 
     def fs(power):
-        t, h, _ = tracer(sdf0.replace(mb_power=power), oj, dj)
+        t, h, _, _tm = tracer(sdf0.replace(mb_power=power), oj, dj)
         return jnp.sum(jnp.where(h, t, 0.0))
 
     g_ad = float(jax.grad(fs)(jnp.asarray([8.0]))[0])
@@ -161,3 +161,35 @@ def test_grad_mandelbulb_render_finite():
 
     g = jax.grad(loss)(jnp.asarray([8.0]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_soft_silhouette_gives_camera_dolly_gradient():
+    """With soft silhouettes enabled, visibility-edge motion has gradients:
+    FD and AD of the loss w.r.t. camera z must agree in sign and roughly in
+    magnitude (hard visibility gives a near-zero/wrong AD here)."""
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=24, height=24, eps=1e-6, max_steps=384,
+                      soft_silhouette=0.05)
+    target = jax.lax.stop_gradient(render_image(
+        scene.replace(camera=scene.camera.replace(
+            origin=jnp.asarray([0.0, 0.4, 3.8]))), cfg))
+
+    def loss(z):
+        origin = jnp.asarray([0.0, 0.4, 0.0]) + z * jnp.asarray([0.0, 0.0, 1.0])
+        s = scene.replace(camera=scene.camera.replace(origin=origin))
+        return jnp.mean((render_image(s, cfg) - target) ** 2)
+
+    z0 = jnp.asarray(3.5, jnp.float64)
+    g_ad = float(jax.grad(loss)(z0))
+    h = 1e-4
+    g_fd = float((loss(z0 + h) - loss(z0 - h)) / (2 * h))
+    assert np.sign(g_ad) == np.sign(g_fd)
+    assert abs(g_ad - g_fd) / max(abs(g_fd), 1e-12) < 0.2
+
+
+def test_soft_silhouette_off_matches_hard():
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16)
+    a = np.asarray(render_image(scene, cfg))
+    b = np.asarray(render_image(scene, cfg.replace(soft_silhouette=0.0)))
+    np.testing.assert_array_equal(a, b)

@@ -44,9 +44,9 @@ def test_march_pallas_matches_jnp():
     for name in ("sphere", "mandelbulb"):
         scene, cfg = build_scene(name, dtype=jnp.float32)
         o, d = _rays(300)  # non-multiple of 1024 -> padding path
-        tj, hj, sj = march(sdf_distance, scene.sdf, o, d, t0=0.0,
+        tj, hj, sj, tmj = march(sdf_distance, scene.sdf, o, d, t0=0.0,
                            max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far)
-        tp, hp, sp = march_pallas(scene.sdf, o, d, t0=0.0,
+        tp, hp, sp, tmp_ = march_pallas(scene.sdf, o, d, t0=0.0,
                                   max_steps=cfg.max_steps, eps=cfg.eps,
                                   t_far=cfg.t_far, interpret=True)
         hp_, hj_ = np.asarray(hp), np.asarray(hj)
@@ -68,7 +68,7 @@ def test_march_pallas_matches_jnp():
 def test_shadow_pallas_matches_jnp():
     scene, cfg = build_scene("mandelbulb", dtype=jnp.float32)
     o, d = _rays(200, seed=3)
-    t, hit, _ = march(sdf_distance, scene.sdf, o, d, t0=0.0,
+    t, hit, _, _tm = march(sdf_distance, scene.sdf, o, d, t0=0.0,
                       max_steps=cfg.max_steps, eps=cfg.eps, t_far=cfg.t_far)
     p = o + t[:, None] * d
     lv = np.asarray([0.5, 0.75, 0.45])
@@ -95,7 +95,7 @@ def test_tracer_gradients_pallas_forward_equals_jnp_forward():
     tr_p = make_sphere_tracer(sdf_distance, **kw, forward_impl="pallas")
 
     def loss(tracer, radius):
-        t, hit, _ = tracer(scene.sdf.replace(sph_radius=radius), o, d)
+        t, hit, _, _tm = tracer(scene.sdf.replace(sph_radius=radius), o, d)
         return jnp.sum(jnp.where(hit, t, 0.0))
 
     r0 = jnp.asarray([1.0], jnp.float32)

@@ -20,7 +20,7 @@ def _rays(n=64, seed=0, dtype=jnp.float64):
 def test_march_matches_analytic_sphere():
     scene, cfg = build_scene("sphere", dtype=jnp.float64)
     o, d = _rays()
-    t, hit, steps = march(sdf_distance, scene.sdf, o, d, t0=0.0,
+    t, hit, steps, _tm = march(sdf_distance, scene.sdf, o, d, t0=0.0,
                           max_steps=256, eps=1e-7, t_far=20.0)
     # analytic ray-sphere: |o + t d| = 1
     oc = np.asarray(o)
@@ -43,7 +43,7 @@ def test_ift_gradient_matches_finite_differences():
 
     def mean_t(radius):
         sdf = scene.sdf.replace(sph_radius=radius[None])
-        t, hit, _ = tracer(sdf, o, d)
+        t, hit, _, _tm = tracer(sdf, o, d)
         return jnp.sum(jnp.where(hit, t, 0.0))
 
     r0 = jnp.asarray(1.0, jnp.float64)
@@ -60,7 +60,7 @@ def test_ift_gradient_wrt_origin_and_dir():
 
     def f(od):
         o_, d_ = od[:, :3], od[:, 3:]
-        t, hit, _ = tracer(scene.sdf, o_, d_)
+        t, hit, _, _tm = tracer(scene.sdf, o_, d_)
         return jnp.sum(jnp.where(hit, t, 0.0) * jnp.arange(1.0, 9.0))
 
     od0 = jnp.concatenate([o, d], -1)
@@ -89,7 +89,7 @@ def test_miss_rays_have_zero_gradient():
     tracer = make_sphere_tracer(sdf_distance, max_steps=64, eps=1e-7, t_far=20.0)
 
     def f(radius):
-        t, hit, _ = tracer(scene.sdf.replace(sph_radius=radius[None]), o, d)
+        t, hit, _, _tm = tracer(scene.sdf.replace(sph_radius=radius[None]), o, d)
         return jnp.sum(t)
 
     assert float(jax.grad(f)(jnp.asarray(1.0))) == 0.0
