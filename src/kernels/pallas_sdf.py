@@ -39,7 +39,7 @@ from src.sdf.primitives import BIG, SdfScene
 
 TILE = (8, 128)
 TILE_RAYS = TILE[0] * TILE[1]
-_RMIN = 1e-9
+_RMIN = 1e-6
 _MB_BAILOUT = 4.0
 
 
@@ -88,7 +88,9 @@ def _mandelbulb_de_tile(px, py, pz, power, iters: int):
         r = jnp.where(live_b, r_new, r)
         live = live * (r_new <= _MB_BAILOUT).astype(live.dtype)
         live_nb = live > 0.5
-        r_safe = jnp.maximum(r_new, _RMIN)
+        # cap at bailout (see src/sdf/mandelbulb.py): dead-lane overflow
+        # guard for f32 backward
+        r_safe = jnp.clip(r_new, _RMIN, _MB_BAILOUT)
         rho = jnp.sqrt(jnp.maximum(zx * zx + zy * zy, _RMIN * _RMIN))
         theta = atan2_tile(rho, zz)
         phi = atan2_tile(zy, zx)

@@ -137,4 +137,4 @@ def surface_normal(de_fn: Callable, scene, p: jnp.ndarray) -> jnp.ndarray:
     _, pullback = jax.vjp(lambda pp: de_fn(scene, pp), p)
     (grad_p,) = pullback(jnp.ones(p.shape[:-1], p.dtype))
     n2 = jnp.sum(grad_p * grad_p, axis=-1, keepdims=True)
-    return grad_p / jnp.sqrt(jnp.maximum(n2, 1e-20))
+    return grad_p / jnp.sqrt(jnp.maximum(n2, 1e-12))

@@ -54,13 +54,25 @@ def sample_offsets(cfg: RenderConfig, dtype=jnp.float32):
 
 
 def pixel_sample_coords(cfg: RenderConfig, dtype=jnp.float32):
-    """Sample positions for every (pixel, sample): two (H, W, spp) arrays."""
+    """Sample positions for every (pixel, sample): two (H, W, spp) arrays.
+
+    Deterministic stratified centers by default; with cfg.jitter_seed each
+    sample is uniformly jittered inside its stratum (seeded, reproducible).
+    """
     xs = jnp.arange(cfg.width, dtype=dtype)
     ys = jnp.arange(cfg.height, dtype=dtype)
     px, py = jnp.meshgrid(xs, ys, indexing="xy")  # (H, W)
-    off = sample_offsets(cfg, dtype)  # (spp, 2)
-    sx = px[..., None] + off[:, 0]
-    sy = py[..., None] + off[:, 1]
+    if cfg.jitter_seed is None:
+        off = sample_offsets(cfg, dtype)  # (spp, 2)
+        sx = px[..., None] + off[:, 0]
+        sy = py[..., None] + off[:, 1]
+        return sx, sy
+    k = cfg.spp_side
+    key = jax.random.PRNGKey(cfg.jitter_seed)
+    u = jax.random.uniform(key, (cfg.height, cfg.width, cfg.spp, 2), dtype)
+    cell = jnp.arange(cfg.spp) % k, jnp.arange(cfg.spp) // k
+    sx = px[..., None] + (cell[0] + u[..., 0]) / k
+    sy = py[..., None] + (cell[1] + u[..., 1]) / k
     return sx, sy
 
 
@@ -223,27 +235,47 @@ def render_rays(scene: Scene, cfg: RenderConfig, o, d, method: str | None = None
 
 
 def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
-    """Full frame: (H, W, 3) linear RGB, spp-averaged."""
+    """Full frame: (H, W, 3) linear RGB, spp-averaged.
+
+    Blocked execution (cfg.block_size) generates rays INSIDE each block and
+    wraps the block in jax.checkpoint: peak memory is one block's live state
+    regardless of frame size, for both forward and backward (rematerialized)
+    — the memory/FLOPs trade SURVEY.md prescribes for HBM-bound frames.
+    """
     dtype = scene.camera.origin.dtype
     method = resolve_method(scene, cfg)
     sx, sy = pixel_sample_coords(cfg, dtype)  # (H, W, spp)
-    o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(), cfg.width, cfg.height)
+    flat_x, flat_y = sx.ravel(), sy.ravel()
 
-    R = o.shape[0]
+    def block_fn(xy):
+        o, d = generate_rays(scene.camera, xy[0], xy[1], cfg.width, cfg.height)
+        return render_rays(scene, cfg, o, d, method)
+
+    R = flat_x.shape[0]
     if cfg.block_size and cfg.block_size < R:
-        bs = cfg.block_size
+        # blocks cover whole pixels (bs multiple of spp) so the spp-mean
+        # happens in-block; colors travel channel-major (3, pixels) — XLA
+        # would otherwise tile huge (N, 3) arrays with 3 in the lane
+        # dimension, a 42x padding blow-up that OOMs 1080p x 16spp frames
+        bs = -(-cfg.block_size // cfg.spp) * cfg.spp
         pad = (-R) % bs
         if pad:
-            o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))])
-            d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))])
-        o = o.reshape(-1, bs, 3)
-        d = d.reshape(-1, bs, 3)
-        colors = jax.lax.map(
-            lambda od: render_rays(scene, cfg, od[0], od[1], method), (o, d)
-        ).reshape(-1, 3)[:R]
-    else:
-        colors = render_rays(scene, cfg, o, d, method)
+            flat_x = jnp.concatenate([flat_x, jnp.broadcast_to(flat_x[-1:], (pad,))])
+            flat_y = jnp.concatenate([flat_y, jnp.broadcast_to(flat_y[-1:], (pad,))])
+        xb = flat_x.reshape(-1, bs)
+        yb = flat_y.reshape(-1, bs)
 
+        def block_mean(xy):
+            colors = block_fn(xy)  # (bs, 3)
+            px = colors.reshape(-1, cfg.spp, 3).mean(1)  # (bs/spp, 3)
+            return px.T  # (3, bs/spp)
+
+        cols = jax.lax.map(jax.checkpoint(block_mean), (xb, yb))  # (nb, 3, bs/spp)
+        n_px = cfg.height * cfg.width
+        flat = jnp.moveaxis(cols, 1, 0).reshape(3, -1)[:, :n_px]
+        return jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
+
+    colors = block_fn((flat_x, flat_y))
     img = colors.reshape(cfg.height, cfg.width, cfg.spp, 3)
     return jnp.mean(img, axis=2)
 

@@ -84,6 +84,73 @@ def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(verts, np.float64), np.asarray(faces, np.int32)
 
 
+def load_ply(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal PLY parser: ascii and binary_little_endian, vertex x/y/z
+    properties + triangulated (fan) face lists — enough for Stanford scans."""
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError("not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(type, prop)...])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("unterminated PLY header")
+            parts = line.decode("ascii", "replace").split()
+            if not parts or parts[0] == "comment":
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                elements[-1][2].append(tuple(parts[1:]))
+            elif parts[0] == "end_header":
+                break
+
+        _SZ = {"char": "b", "uchar": "B", "int8": "b", "uint8": "B",
+               "short": "h", "ushort": "H", "int16": "h", "uint16": "H",
+               "int": "i", "uint": "I", "int32": "i", "uint32": "I",
+               "float": "f", "float32": "f", "double": "d", "float64": "d"}
+        verts, faces = [], []
+        for name, count, props in elements:
+            is_vert = name == "vertex"
+            is_face = name == "face"
+            if fmt == "ascii":
+                for _ in range(count):
+                    vals = f.readline().split()
+                    if is_vert:
+                        verts.append([float(v) for v in vals[:3]])
+                    elif is_face:
+                        n = int(vals[0])
+                        idx = [int(v) for v in vals[1:1 + n]]
+                        for k in range(1, n - 1):
+                            faces.append([idx[0], idx[k], idx[k + 1]])
+            else:  # binary_little_endian
+                for _ in range(count):
+                    row = []
+                    for prop in props:
+                        if prop[0] == "list":
+                            n = _struct.unpack(
+                                "<" + _SZ[prop[1]],
+                                f.read(_struct.calcsize(_SZ[prop[1]])))[0]
+                            item = _SZ[prop[2]]
+                            idx = _struct.unpack(
+                                "<" + item * n, f.read(_struct.calcsize(item) * n))
+                            if is_face:
+                                for k in range(1, n - 1):
+                                    faces.append([idx[0], idx[k], idx[k + 1]])
+                        else:
+                            row.append(_struct.unpack(
+                                "<" + _SZ[prop[0]],
+                                f.read(_struct.calcsize(_SZ[prop[0]])))[0])
+                    if is_vert:
+                        verts.append(row[:3])
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int32)
+
+
 def normalize_to_unit(verts: np.ndarray, target_half: float = 1.0) -> np.ndarray:
     """Center at origin and scale the longest half-extent to target_half."""
     lo, hi = verts.min(0), verts.max(0)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 _BAILOUT = 4.0
-_RMIN = 1e-9
+_RMIN = 1e-6
 
 
 def mandelbulb_de(p: jnp.ndarray, power: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
@@ -38,7 +38,10 @@ def mandelbulb_de(p: jnp.ndarray, power: jnp.ndarray, iters: int = 12) -> jnp.nd
         # escaping iteration (classic formulation: `r = |z|; if r > bailout break`)
         r = jnp.where(live, r_new, r)
         live_new = live & (r_new <= _BAILOUT)
-        r_safe = jnp.maximum(r_new, _RMIN)
+        # cap at the bailout: live lanes always satisfy r <= bailout, and
+        # without the cap dead lanes compute r^(power) -> inf in f32, whose
+        # NaN leaks through jnp.where in the BACKWARD pass (inf * 0 cotangent)
+        r_safe = jnp.clip(r_new, _RMIN, _BAILOUT)
         # polar angle via atan2(hypot(x,y), z): same value as acos(z/r) but
         # with a finite gradient at the poles (acos' blows up at |z/r|=1)
         rho = jnp.sqrt(jnp.maximum(z[..., 0] ** 2 + z[..., 1] ** 2, _RMIN * _RMIN))

@@ -46,6 +46,12 @@ class RenderConfig:
     # bound memory — the TPU analog of the reference's tile scheduler granule.
     block_size: int = 0  # 0 = whole image in one block
 
+    # Anti-aliasing sample placement: None = deterministic stratified cell
+    # centers (bit-reproducible, matches the CPU reference); an int seed
+    # jitters each sample uniformly within its stratum (the reference's
+    # jittered supersampling, SURVEY.md §2 #3) — still deterministic per seed.
+    jitter_seed: Optional[int] = None
+
     # Differentiable soft silhouettes for SDF scenes: blend surface color over
     # background with coverage sigmoid(-d_min / width), where d_min is the
     # (differentiable) scene distance at each ray's closest-approach point.
