@@ -27,6 +27,7 @@ CHUNK = 128  # triangles per chunk = one VPU lane row
 
 
 ROWS_PER_CHUNK = 16  # 9 data rows (v0/e1/e2 xyz) + 7 pad, sublane-aligned
+SUPER = 16  # chunks per super-chunk (two-level AABB hierarchy)
 
 
 @struct.dataclass
@@ -38,6 +39,12 @@ class PacketAccel:
     corners: jnp.ndarray  # (C*16, 128) float32
     # row ci lanes 0..5 = [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z]
     chunk_aabb: jnp.ndarray  # (C, 128) float32
+    # super-chunk AABBs over SUPER consecutive chunks, same row layout. The
+    # kernel's outer loop walks supers and only descends into a super's
+    # chunks when its AABB passes — each loop iteration costs a cross-lane
+    # reduce + scalar branch (~hundreds of cycles), so empty space must be
+    # rejected at coarse granularity.
+    super_aabb: jnp.ndarray  # (ceil(C/SUPER), 128) float32
     perm: jnp.ndarray  # (Tpad,) int32: sorted position -> original tri id (-1 pad)
     num_tris: int = struct.field(pytree_node=False, default=0)
 
@@ -71,6 +78,7 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
         return PacketAccel(
             corners=jnp.zeros((ROWS_PER_CHUNK, CHUNK), jnp.float32),
             chunk_aabb=jnp.asarray(aabb),
+            super_aabb=jnp.asarray(aabb),
             perm=jnp.full((CHUNK,), -1, jnp.int32),
             num_tris=0,
         )
@@ -109,10 +117,31 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
     aabb[:, 0:3] = lo_c
     aabb[:, 3:6] = hi_c
 
+    # super-chunk AABBs: union over SUPER consecutive chunk AABBs. The chunk
+    # arrays are padded to a whole number of supers with never-hit boxes /
+    # degenerate triangles so the kernel's inner loop is uniform.
+    S = -(-C // SUPER)
+    C_pad = S * SUPER
+    if C_pad != C:
+        aabb_pad = np.zeros((C_pad, 128), np.float32)
+        aabb_pad[:C] = aabb
+        aabb_pad[C:, 0:3] = big
+        aabb_pad[C:, 3:6] = -big
+        aabb = aabb_pad
+        corners_pad = np.zeros((C_pad * ROWS_PER_CHUNK, CHUNK), np.float32)
+        corners_pad[:C * ROWS_PER_CHUNK] = corners
+        corners = corners_pad
+    sup = np.zeros((S, 128), np.float32)
+    for si in range(S):
+        sl = slice(si * SUPER, min((si + 1) * SUPER, C))
+        sup[si, 0:3] = lo_c[sl].min(0)
+        sup[si, 3:6] = hi_c[sl].max(0)
+
     perm = np.concatenate([order, np.full(pad, -1, np.int64)])
     return PacketAccel(
         corners=jnp.asarray(corners, jnp.float32),
         chunk_aabb=jnp.asarray(aabb),
+        super_aabb=jnp.asarray(sup),
         perm=jnp.asarray(perm, jnp.int32),
         num_tris=T,
     )

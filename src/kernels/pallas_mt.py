@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from src.accel.packet import CHUNK, ROWS_PER_CHUNK, PacketAccel
+from src.accel.packet import CHUNK, ROWS_PER_CHUNK, SUPER, PacketAccel
 from src.kernels.moller_trumbore import BIG, TriHit
 
 TILE = (8, 128)
@@ -46,8 +46,15 @@ def _use_interpret():
 
 def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: float = BIG, any_hit: bool = False,
+                     sort_origin: jnp.ndarray | None = None,
                      interpret: bool | None = None) -> TriHit:
-    """Closest-hit (or any-hit) over all chunks for a flat f32 ray batch."""
+    """Closest-hit (or any-hit) over all chunks for a flat f32 ray batch.
+
+    sort_origin: optional (3,) point; chunks are then visited in order of
+    distance from it (front-to-back for primary rays sharing that origin),
+    so an early hit shrinks best_t and the slab cull rejects every farther
+    chunk — the packet analog of DDA's near-to-far cell order.
+    """
     if interpret is None:
         interpret = _use_interpret()
     o = jax.lax.stop_gradient(o)
@@ -61,10 +68,16 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
         tc, R, nt = _tileize(c)
         tiles.append(tc)
 
-    n_chunks = accel.num_chunks
+    n_supers = accel.super_aabb.shape[0]
+    if sort_origin is not None:
+        centers = 0.5 * (accel.super_aabb[:, 0:3] + accel.super_aabb[:, 3:6])
+        d2 = jnp.sum((centers - jax.lax.stop_gradient(sort_origin)) ** 2, axis=1)
+        super_order = jnp.argsort(d2).astype(jnp.int32)
+    else:
+        super_order = jnp.arange(n_supers, dtype=jnp.int32)
 
-    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               cor_ref, aabb_ref, t_ref, tri_ref):
+    def kernel(order_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               cor_ref, aabb_ref, sup_ref, t_ref, tri_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
@@ -75,11 +88,7 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
         t_ref[:] = ox * 0.0 + t_far
         tri_ref[:] = ox * 0.0 - 1.0  # f32 triangle slot (exact ints < 2^24)
 
-        def chunk_body(ci, _):
-            ab = aabb_ref[pl.ds(ci, 1), :]  # (1,128): lanes 0-5 = lo/hi
-            best = t_ref[:]
-            if any_hit:
-                best = jnp.where(tri_ref[:] >= 0.0, 0.0, best)
+        def slab(ab, best):
             t0x = (ab[0, 0] - ox) * inv_x
             t1x = (ab[0, 3] - ox) * inv_x
             t0y = (ab[0, 1] - oy) * inv_y
@@ -93,7 +102,17 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.maximum(t0z, t1z))
             tn = jnp.maximum(tn, 0.0)
-            active = (tf >= tn) & (tn < best)
+            return (tf >= tn) & (tn < best)
+
+        def current_best():
+            best = t_ref[:]
+            if any_hit:
+                best = jnp.where(tri_ref[:] >= 0.0, 0.0, best)
+            return best
+
+        def chunk_body(ci):
+            ab = aabb_ref[pl.ds(ci, 1), :]  # (1,128): lanes 0-5 = lo/hi
+            active = slab(ab, current_best())
 
             @pl.when(jnp.any(active))
             def _():
@@ -129,25 +148,44 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
                 t_ref[:] = best_t
                 tri_ref[:] = best_tri
 
+        def super_body(i, _):
+            si = order_ref[i]
+            sab = sup_ref[pl.ds(si, 1), :]
+            s_active = slab(sab, current_best())
+
+            @pl.when(jnp.any(s_active))
+            def _():
+                def inner(k, _):
+                    chunk_body(si * SUPER + k)
+                    return 0
+
+                jax.lax.fori_loop(0, SUPER, inner, 0)
+
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.fori_loop(0, n_supers, super_body, 0)
 
     out_shape = [
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
     ]
-    ray_spec = pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+    # index maps receive the scalar-prefetch ref as an extra argument
+    ray_spec = pl.BlockSpec(TILE, lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[ray_spec] * 6 + [full(accel.corners), full(accel.chunk_aabb),
+                                   full(accel.super_aabb)],
+        out_specs=[ray_spec, ray_spec],
+    )
     t, tri_f = pl.pallas_call(
         kernel,
-        grid=(nt,),
-        in_specs=[ray_spec] * 6 + [full(accel.corners), full(accel.chunk_aabb)],
-        out_specs=[ray_spec, ray_spec],
+        grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(*tiles, accel.corners, accel.chunk_aabb)
+    )(super_order, *tiles, accel.corners, accel.chunk_aabb, accel.super_aabb)
 
     t = t.reshape(-1)[:R]
     tri_sorted = tri_f.reshape(-1)[:R].astype(jnp.int32)

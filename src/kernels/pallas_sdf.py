@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from src.sdf.primitives import BIG, SdfScene
+from src.sdf.primitives import BIG, SdfScene, sdf_bounding_spheres
 
 TILE = (8, 128)
 TILE_RAYS = TILE[0] * TILE[1]
@@ -220,11 +220,16 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
         tc, R, nt = _tileize(c)
         tiles.append(tc)
     operands, rebuild = _flatten_sdf(sdf)
+    bounds = sdf_bounding_spheres(sdf)
+    n_bounds = 0 if bounds is None else bounds.shape[0]
+    extra = [] if bounds is None else [bounds]
 
     def kernel(*refs):
         ox, oy, oz, dx, dy, dz = (refs[i][:] for i in range(6))
         sdf_k = rebuild([refs[6 + i][:] for i in range(len(operands))])
-        t_ref, hit_ref, steps_ref, tmin_ref = refs[6 + len(operands):]
+        off = 6 + len(operands)
+        bounds_ref = refs[off] if n_bounds else None
+        t_ref, hit_ref, steps_ref, tmin_ref = refs[off + (1 if n_bounds else 0):]
 
         # carry state as f32 tiles derived from a VMEM read: Mosaic cannot
         # relayout replicated-constant inits to the loop body's tiled layout,
@@ -235,6 +240,21 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
         steps0 = zero
         dmin0 = zero + 1e10
         tmin0 = t_init
+        if n_bounds:
+            # bounding-sphere tile cull: lanes whose ray misses every
+            # primitive's bound start at t_far (dead) — sky/floor tiles in
+            # mixed scenes then skip the march entirely via the while cond
+            reach = zero > 1.0  # all-false, tiled
+            for k in range(n_bounds):
+                cx, cy, cz, r = (bounds_ref[k, 0], bounds_ref[k, 1],
+                                 bounds_ref[k, 2], bounds_ref[k, 3])
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                b = ocx * dx + ocy * dy + ocz * dz
+                c2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - c2
+                # hit if the sphere is ahead (exit point t = -b + sqrt > 0)
+                reach = reach | ((disc >= 0.0) & (jnp.sqrt(jnp.maximum(disc, 0.0)) - b > 0.0))
+            t_init = jnp.where(reach, t_init, zero + t_far)
 
         def cond(carry):
             step, t, hit, _s, _dm, _tm = carry
@@ -268,7 +288,8 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), jnp.int32),
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
     ]
-    in_specs = (_ray_specs(6, nt) + [_full_spec(op) for op in operands])
+    in_specs = (_ray_specs(6, nt) + [_full_spec(op) for op in operands]
+                + [_full_spec(b) for b in extra])
     out_specs = [pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)] * 4
 
     t, hit, steps, tmin = pl.pallas_call(
@@ -278,7 +299,7 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*tiles, *operands)
+    )(*tiles, *operands, *extra)
     flat = lambda a: a.reshape(-1)[:R]
     return flat(t), flat(hit).astype(bool), flat(steps), flat(tmin)
 

@@ -76,6 +76,18 @@ def pixel_sample_coords(cfg: RenderConfig, dtype=jnp.float32):
     return sx, sy
 
 
+def _block_order_perm(cfg: RenderConfig):
+    """Pixel permutation: row-major -> 8x8 square blocks (None if the image
+    is not divisible into 8x8 blocks; strips are then used as-is)."""
+    if cfg.height % 8 or cfg.width % 8:
+        return None
+    import numpy as np
+
+    idx = np.arange(cfg.height * cfg.width).reshape(cfg.height, cfg.width)
+    blocks = idx.reshape(cfg.height // 8, 8, cfg.width // 8, 8)
+    return jnp.asarray(blocks.transpose(0, 2, 1, 3).reshape(-1), jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Intersection dispatch
 # ---------------------------------------------------------------------------
@@ -129,7 +141,9 @@ def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
     if scene.packet is not None and use_pallas(cfg, o.dtype):
         from src.kernels.pallas_mt import intersect_packet
 
-        res = intersect_packet(scene.packet, o, d, t_max=cfg.t_far)
+        # primary rays share the camera origin -> front-to-back chunk order
+        res = intersect_packet(scene.packet, o, d, t_max=cfg.t_far,
+                               sort_origin=o[0])
     else:
         from src.kernels.dda import intersect_grid
 
@@ -252,12 +266,19 @@ def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
         return render_rays(scene, cfg, o, d, method)
 
     R = flat_x.shape[0]
+    # order pixels in 8x8 square blocks instead of row-major strips: a
+    # (8,128)-sample kernel tile then covers a compact 8x8-pixel footprint,
+    # whose tight frustum culls far more packet chunks than a 64x1 strip
+    perm_px = _block_order_perm(cfg)
     if cfg.block_size and cfg.block_size < R:
         # blocks cover whole pixels (bs multiple of spp) so the spp-mean
         # happens in-block; colors travel channel-major (3, pixels) — XLA
         # would otherwise tile huge (N, 3) arrays with 3 in the lane
         # dimension, a 42x padding blow-up that OOMs 1080p x 16spp frames
         bs = -(-cfg.block_size // cfg.spp) * cfg.spp
+        if perm_px is not None:
+            flat_x = flat_x.reshape(-1, cfg.spp)[perm_px].ravel()
+            flat_y = flat_y.reshape(-1, cfg.spp)[perm_px].ravel()
         pad = (-R) % bs
         if pad:
             flat_x = jnp.concatenate([flat_x, jnp.broadcast_to(flat_x[-1:], (pad,))])
@@ -273,6 +294,10 @@ def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
         cols = jax.lax.map(jax.checkpoint(block_mean), (xb, yb))  # (nb, 3, bs/spp)
         n_px = cfg.height * cfg.width
         flat = jnp.moveaxis(cols, 1, 0).reshape(3, -1)[:, :n_px]
+        if perm_px is not None:
+            inv = jnp.zeros_like(perm_px).at[perm_px].set(
+                jnp.arange(n_px, dtype=perm_px.dtype))
+            flat = flat[:, inv]
         return jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
 
     colors = block_fn((flat_x, flat_y))

@@ -115,6 +115,31 @@ def _per_prim_distances(scene: SdfScene, p: jnp.ndarray):
     return jnp.concatenate(parts, axis=-1), jnp.concatenate(mats)
 
 
+def sdf_bounding_spheres(scene: SdfScene):
+    """Conservative bounding spheres (K, 4) [cx, cy, cz, r] over all finite
+    primitives, or None if the scene contains unbounded ones (planes).
+
+    Used by the Pallas march to skip whole ray tiles that cannot hit any SDF
+    primitive (packet-cull analog for the march). The canonical Mandelbulb
+    fits within radius ~1.2; 1.5x scale is used for safety margin.
+    """
+    if scene.pln_normal.shape[0]:
+        return None
+    rows = []
+    if scene.sph_center.shape[0]:
+        rows.append(jnp.concatenate(
+            [scene.sph_center, scene.sph_radius[:, None]], axis=1))
+    if scene.box_center.shape[0]:
+        r = length(scene.box_half) + scene.box_round
+        rows.append(jnp.concatenate([scene.box_center, r[:, None]], axis=1))
+    if scene.mb_center.shape[0]:
+        r = 1.5 * scene.mb_scale
+        rows.append(jnp.concatenate([scene.mb_center, r[:, None]], axis=1))
+    if not rows:
+        return None
+    return jnp.concatenate(rows, axis=0)
+
+
 def sdf_distance(scene: SdfScene, p: jnp.ndarray) -> jnp.ndarray:
     """Scene distance field: (..., 3) -> (...,). Union = min over primitives."""
     d, _ = _per_prim_distances(scene, p)

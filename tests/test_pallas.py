@@ -59,10 +59,13 @@ def test_march_pallas_matches_jnp():
             assert np.quantile(terr[same], 0.99) < 2e-3
         else:
             np.testing.assert_array_equal(hp_, hj_)
-            # summation-order rounding drifts t by ~1 ulp/step on long rays
-            np.testing.assert_allclose(np.asarray(tp), np.asarray(tj),
+            # hits must agree (rounding drifts ~1 ulp/step); bound-culled
+            # misses legitimately report t = t_far instead of the jnp
+            # march's overshoot value
+            np.testing.assert_allclose(np.asarray(tp)[hj_], np.asarray(tj)[hj_],
                                        rtol=1e-4, atol=1e-5)
-            np.testing.assert_array_equal(np.asarray(sp), np.asarray(sj))
+            assert (np.asarray(tp)[~hj_] >= cfg.t_far * (1 - 1e-6)).all()
+            np.testing.assert_array_equal(np.asarray(sp)[hj_], np.asarray(sj)[hj_])
 
 
 def test_shadow_pallas_matches_jnp():
