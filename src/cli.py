@@ -59,13 +59,24 @@ def cmd_render(args):
     else:
         run = lambda: np.asarray(jax.block_until_ready(render_image_jit(scene, cfg)))
     img = run()  # warmup/compile
-    with Timer() as t:
-        img = run()
+    from src.utils.metrics import profile_trace
+
+    with profile_trace(args.profile):
+        with Timer() as t:
+            img = run()
     rays = rays_per_frame(cfg, scene)
     print(f"[render] {args.scene} {cfg.width}x{cfg.height} spp={cfg.spp} "
           f"{t.elapsed * 1e3:.1f} ms  {mrays_per_sec(rays, t.elapsed):.2f} Mrays/s")
     write_png(args.out, img)
     print(f"[render] wrote {args.out}")
+    if args.profile:
+        print(f"[render] profiler trace in {args.profile}")
+    if args.stats:
+        import json as _json
+
+        from src.render.render import frame_stats
+
+        print("[render] stats:", _json.dumps(frame_stats(scene, cfg)))
 
 
 def cmd_fit(args):
@@ -158,6 +169,10 @@ def main(argv=None):
     p.add_argument("--scene", required=True)
     p.add_argument("--out", default="out.png")
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-frame ray statistics (hit rate, march steps)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the timed frame")
     _add_cfg_flags(p)
     p.set_defaults(fn=cmd_render)
 

@@ -308,3 +308,33 @@ def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=1)
 def render_image_jit(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
     return render_image(scene, cfg)
+
+
+def frame_stats(scene: Scene, cfg: RenderConfig, max_rays: int = 1 << 18) -> dict:
+    """Per-frame ray statistics (the reference's overlay counters, SURVEY.md
+    §2 #4/#19): hit rate, mean hit distance, and march-step stats for SDF
+    scenes. Subsamples the frame to at most max_rays primary rays."""
+    dtype = scene.camera.origin.dtype
+    method = resolve_method(scene, cfg)
+    sx, sy = pixel_sample_coords(cfg, dtype)
+    fx, fy = sx.ravel(), sy.ravel()
+    stride = max(1, fx.shape[0] // max_rays)
+    fx, fy = fx[::stride], fy[::stride]
+    o, d = generate_rays(scene.camera, fx, fy, cfg.width, cfg.height)
+    t, hit, p, n, mat, cov = trace_rays(scene, cfg, o, d, method)
+    stats = {
+        "method": method,
+        "rays_sampled": int(fx.shape[0]),
+        "hit_rate": float(jnp.mean(hit.astype(jnp.float32))),
+        "mean_hit_t": float(jnp.sum(jnp.where(hit, t, 0.0))
+                            / jnp.maximum(jnp.sum(hit), 1)),
+    }
+    if method in ("sdf", "mixed") and scene.has_sdf:
+        impl = "pallas" if use_pallas(cfg, o.dtype) else "jnp"
+        tracer = make_sphere_tracer(sdf_distance, max_steps=cfg.max_steps,
+                                    eps=cfg.eps, t_far=cfg.t_far,
+                                    forward_impl=impl)
+        _, _, steps, _ = tracer(scene.sdf, o, d)
+        stats["march_steps_mean"] = float(jnp.mean(steps.astype(jnp.float32)))
+        stats["march_steps_max"] = int(jnp.max(steps))
+    return stats
