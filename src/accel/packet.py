@@ -67,6 +67,26 @@ def _morton3(x: np.ndarray, bits: int = 10) -> np.ndarray:
     return (spread(x[:, 0]) << np.uint64(2)) | (spread(x[:, 1]) << np.uint64(1)) | spread(x[:, 2])
 
 
+# VMEM budget for the kernel's resident arrays (corners + chunk/super AABBs);
+# ~16 MB VMEM per core minus ray tiles and scratch. Policy lives here because
+# it depends on this module's layout (ROWS_PER_CHUNK x CHUNK f32 rows).
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def packet_accel_bytes(num_tris: int) -> int:
+    """Device bytes the kernel VMEM-maps for a mesh of num_tris triangles."""
+    chunks = -(-num_tris // CHUNK)
+    supers = -(-chunks // SUPER)
+    chunks_padded = supers * SUPER
+    corners = chunks_padded * ROWS_PER_CHUNK * CHUNK * 4
+    aabbs = (chunks_padded + supers) * 128 * 4
+    return corners + aabbs
+
+
+def fits_vmem(num_tris: int) -> bool:
+    return packet_accel_bytes(num_tris) <= VMEM_BUDGET_BYTES
+
+
 def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
     verts = np.asarray(verts, np.float64)
     tris = np.asarray(tris, np.int64).reshape(-1, 3)
