@@ -51,7 +51,7 @@ def run_bench(scene_name: str = "mixed", backward: bool = True,
     from src.scene.scenes import build_scene
 
     scene, cfg = build_scene(scene_name)
-    n_chips = jax.local_device_count()
+    n_chips = 1  # the jitted render runs on the default device only
 
     fwd = jax.jit(lambda s: render_image(s, cfg))
     _, fwd_s = block_and_time(fwd, scene, warmup=warmup, iters=iters)
@@ -68,6 +68,7 @@ def run_bench(scene_name: str = "mixed", backward: bool = True,
         "rays_per_frame": rays,
         "fwd_seconds": round(fwd_s, 4),
         "device": str(jax.devices()[0]),
+        "chips_used": 1,
     }
 
     if backward:

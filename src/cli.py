@@ -109,7 +109,10 @@ def cmd_fit(args):
                   checkpoint_dir=args.checkpoint_dir),
         mesh=mesh,
     )
-    print(f"[fit] final loss {history[-1]:.3e}")
+    if history:
+        print(f"[fit] final loss {history[-1]:.3e}")
+    else:
+        print("[fit] checkpoint already at the requested step count; nothing to do")
     if args.out:
         write_png(args.out, np.asarray(render_image_jit(fitted, cfg)))
         print(f"[fit] wrote {args.out}")
@@ -124,6 +127,8 @@ def cmd_bench(args):
 
 def cmd_gradcheck(args):
     import jax
+
+    jax.config.update("jax_enable_x64", True)  # float64 finite differences
     import jax.numpy as jnp
     from src.fit import extract_params, apply_params
     from src.render.render import render_image

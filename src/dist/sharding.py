@@ -49,36 +49,48 @@ def _pad_to(x: jnp.ndarray, multiple: int):
     return x, pad
 
 
+def shard_sample_coords(cfg: RenderConfig, dtype, n_dev: int):
+    """Flat sample coords padded so every shard holds WHOLE pixels.
+
+    Returns (flat_x, flat_y, n_px): length is a multiple of n_dev * spp, so
+    per-shard spp reduction is exact and per-pixel losses shard cleanly.
+    """
+    from src.render.render import pixel_sample_coords
+
+    sx, sy = pixel_sample_coords(cfg, dtype)
+    flat_x, _ = _pad_to(sx.ravel(), n_dev * cfg.spp)
+    flat_y, _ = _pad_to(sy.ravel(), n_dev * cfg.spp)
+    return flat_x, flat_y, sx.size // cfg.spp
+
+
 def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                          gather: bool = True) -> jnp.ndarray:
     """Full frame with rays sharded over the mesh -> (H, W, 3).
 
-    Scene is replicated; each shard generates and renders its own rays (so
-    camera gradients flow inside the shard). With gather=False the result
-    stays sharded over rows of the flat sample axis (multi-host: each host
-    keeps only its shard; see image_io for per-host writes).
+    Scene is replicated; each shard generates and renders its own whole-pixel
+    slice via the blocked channel-major path (memory-safe at any frame size,
+    see render.render_pixels_flat). With gather=False the result stays
+    sharded (multi-host: each host keeps only its shard; see
+    dist.multihost.write_image_per_host).
     """
+    from src.render.render import render_pixels_flat
+
     dtype = scene.camera.origin.dtype
     method = resolve_method(scene, cfg)
     n_dev = mesh.devices.size
-
-    sx, sy = pixel_sample_coords(cfg, dtype)
-    flat_x, _ = _pad_to(sx.ravel(), n_dev)
-    flat_y, _ = _pad_to(sy.ravel(), n_dev)
-    R = sx.size
+    flat_x, flat_y, n_px = shard_sample_coords(cfg, dtype, n_dev)
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
-        out_specs=P(RAY_AXIS),
+        out_specs=P(None, RAY_AXIS),
         check_vma=False,
     )
     def shard_render(scene_rep, xs, ys):
-        o, d = generate_rays(scene_rep.camera, xs, ys, cfg.width, cfg.height)
-        return render_rays(scene_rep, cfg, o, d, method)
+        return render_pixels_flat(scene_rep, cfg, xs, ys, method)  # (3, px)
 
-    colors = shard_render(scene, flat_x, flat_y)[:R]
-    img = jnp.mean(colors.reshape(cfg.height, cfg.width, cfg.spp, 3), axis=2)
+    flat = shard_render(scene, flat_x, flat_y)[:, :n_px]
+    img = jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
     if gather:
         img = jax.lax.with_sharding_constraint(
             img, NamedSharding(mesh, P()))

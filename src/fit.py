@@ -98,34 +98,35 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
     target: (H, W, 3) full target image (replicated in; sharded internally).
     Loss/grads are exact global quantities (bucketed psum inside shard_map).
     """
+    from src.dist.sharding import shard_sample_coords
+    from src.render.render import render_pixels_flat
+
     dtype = scene.camera.origin.dtype
     method = resolve_method(scene, cfg)
     n_dev = mesh.devices.size
-    sx, sy = pixel_sample_coords(cfg, dtype)  # (H, W, spp)
-    R = sx.size
-    flat_x, _ = _pad_to(sx.ravel(), n_dev)
-    flat_y, _ = _pad_to(sy.ravel(), n_dev)
-    # per-sample target, padded the same way; weight marks padding lanes
-    tgt = jnp.broadcast_to(target[:, :, None, :], sx.shape + (3,)).reshape(-1, 3)
-    tgt, _ = _pad_to(tgt, n_dev)
-    w = jnp.ones((R,), dtype)
-    w, _ = _pad_to(jnp.concatenate([w, jnp.zeros((flat_x.shape[0] - R,), dtype)])
-                   if flat_x.shape[0] != R else w, n_dev)
-
-    denom = jnp.asarray(R * 3, dtype)
+    # whole pixels per shard, so the loss is the MSE of the spp-AVERAGED
+    # image — identical objective to make_fit_step (per-sample MSE would add
+    # a parameter-dependent intra-pixel variance term)
+    flat_x, flat_y, n_px = shard_sample_coords(cfg, dtype, n_dev)
+    n_px_pad = flat_x.shape[0] // cfg.spp
+    tgt = target.reshape(-1, 3).T  # (3, n_px) channel-major
+    tgt = jnp.concatenate(
+        [tgt, jnp.zeros((3, n_px_pad - n_px), dtype)], axis=1)
+    w = jnp.concatenate([jnp.ones((n_px,), dtype),
+                         jnp.zeros((n_px_pad - n_px,), dtype)])
+    denom = jnp.asarray(n_px * 3, dtype)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(None, RAY_AXIS), P(RAY_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )
     def loss_and_grad(params, xs, ys, t, wt):
         def local_loss(params_):
             s = apply_params(scene, params_)
-            o, d = generate_rays(s.camera, xs, ys, cfg.width, cfg.height)
-            colors = render_rays(s, cfg, o, d, method)
-            return jnp.sum(wt[:, None] * (colors - t) ** 2) / denom
+            px = render_pixels_flat(s, cfg, xs, ys, method)  # (3, px_shard)
+            return jnp.sum(wt[None, :] * (px - t) ** 2) / denom
 
         loss, grads = jax.value_and_grad(local_loss)(params)
         grads = psum_buckets(grads, RAY_AXIS, grad_buckets)
@@ -152,6 +153,15 @@ def fit(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
     """Optimize `trainable` scene leaves to match `target`. Returns
     (fitted_scene, loss_history). Checkpoints + resume if checkpoint_dir set."""
     from src.utils import checkpoint as ckpt_lib
+
+    if any(p.split(".")[0] == "mesh" for p in trainable):
+        # vertex positions are being optimized: the grid/packet acceleration
+        # structures were voxelized from the INITIAL vertices and would go
+        # stale as vertices move (grid_build.py), silently missing moved
+        # triangles. Fall back to brute-force mesh intersection for the fit.
+        scene = scene.replace(grid=None, packet=None)
+        if cfg.method == "mesh_grid":
+            cfg = cfg.replace(method="mesh_brute")
 
     params = extract_params(scene, trainable)
     optimizer = optax.adam(fit_cfg.learning_rate)

@@ -248,61 +248,64 @@ def render_rays(scene: Scene, cfg: RenderConfig, o, d, method: str | None = None
                          coverage=cov)
 
 
-def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
-    """Full frame: (H, W, 3) linear RGB, spp-averaged.
+def render_pixels_flat(scene: Scene, cfg: RenderConfig, flat_x, flat_y,
+                       method: str | None = None) -> jnp.ndarray:
+    """Render flat sample coords covering WHOLE pixels -> per-pixel colors
+    (3, n_px), spp-averaged, channel-major.
 
-    Blocked execution (cfg.block_size) generates rays INSIDE each block and
-    wraps the block in jax.checkpoint: peak memory is one block's live state
-    regardless of frame size, for both forward and backward (rematerialized)
-    — the memory/FLOPs trade SURVEY.md prescribes for HBM-bound frames.
+    flat_x/flat_y length must be a multiple of cfg.spp, laid out pixel-major
+    (a pixel's spp samples contiguous). Blocked execution (cfg.block_size)
+    generates rays inside each jax.checkpoint'ed block, reduces spp in-block,
+    and keeps colors channel-major — peak memory is one block's live state
+    for forward AND backward, and no (N, 3) array with the channel axis in
+    the lane dimension is ever materialized (a 42x XLA padding blow-up that
+    OOMs 1080p x 16 spp frames). Shared by the single-device and shard_map
+    paths so both are memory-safe at any frame size.
     """
-    dtype = scene.camera.origin.dtype
-    method = resolve_method(scene, cfg)
-    sx, sy = pixel_sample_coords(cfg, dtype)  # (H, W, spp)
-    flat_x, flat_y = sx.ravel(), sy.ravel()
+    method = method or resolve_method(scene, cfg)
 
     def block_fn(xy):
         o, d = generate_rays(scene.camera, xy[0], xy[1], cfg.width, cfg.height)
         return render_rays(scene, cfg, o, d, method)
 
+    def spp_mean_T(colors):
+        return colors.reshape(-1, cfg.spp, 3).mean(1).T  # (3, n_px_block)
+
     R = flat_x.shape[0]
-    # order pixels in 8x8 square blocks instead of row-major strips: a
-    # (8,128)-sample kernel tile then covers a compact 8x8-pixel footprint,
-    # whose tight frustum culls far more packet chunks than a 64x1 strip
-    perm_px = _block_order_perm(cfg)
+    n_px = R // cfg.spp
     if cfg.block_size and cfg.block_size < R:
-        # blocks cover whole pixels (bs multiple of spp) so the spp-mean
-        # happens in-block; colors travel channel-major (3, pixels) — XLA
-        # would otherwise tile huge (N, 3) arrays with 3 in the lane
-        # dimension, a 42x padding blow-up that OOMs 1080p x 16spp frames
-        bs = -(-cfg.block_size // cfg.spp) * cfg.spp
-        if perm_px is not None:
-            flat_x = flat_x.reshape(-1, cfg.spp)[perm_px].ravel()
-            flat_y = flat_y.reshape(-1, cfg.spp)[perm_px].ravel()
+        bs = -(-cfg.block_size // cfg.spp) * cfg.spp  # whole pixels per block
         pad = (-R) % bs
         if pad:
             flat_x = jnp.concatenate([flat_x, jnp.broadcast_to(flat_x[-1:], (pad,))])
             flat_y = jnp.concatenate([flat_y, jnp.broadcast_to(flat_y[-1:], (pad,))])
         xb = flat_x.reshape(-1, bs)
         yb = flat_y.reshape(-1, bs)
+        cols = jax.lax.map(jax.checkpoint(lambda xy: spp_mean_T(block_fn(xy))),
+                           (xb, yb))  # (nb, 3, bs/spp)
+        return jnp.moveaxis(cols, 1, 0).reshape(3, -1)[:, :n_px]
+    return spp_mean_T(block_fn((flat_x, flat_y)))
 
-        def block_mean(xy):
-            colors = block_fn(xy)  # (bs, 3)
-            px = colors.reshape(-1, cfg.spp, 3).mean(1)  # (bs/spp, 3)
-            return px.T  # (3, bs/spp)
 
-        cols = jax.lax.map(jax.checkpoint(block_mean), (xb, yb))  # (nb, 3, bs/spp)
+def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
+    """Full frame: (H, W, 3) linear RGB, spp-averaged."""
+    dtype = scene.camera.origin.dtype
+    sx, sy = pixel_sample_coords(cfg, dtype)  # (H, W, spp)
+    flat_x, flat_y = sx.ravel(), sy.ravel()
+    # order pixels in 8x8 square blocks instead of row-major strips: a
+    # (8,128)-sample kernel tile then covers a compact 8x8-pixel footprint,
+    # whose tight frustum culls far more packet chunks than a 64x1 strip
+    perm_px = _block_order_perm(cfg)
+    if perm_px is not None:
+        flat_x = flat_x.reshape(-1, cfg.spp)[perm_px].ravel()
+        flat_y = flat_y.reshape(-1, cfg.spp)[perm_px].ravel()
+    flat = render_pixels_flat(scene, cfg, flat_x, flat_y)  # (3, H*W)
+    if perm_px is not None:
         n_px = cfg.height * cfg.width
-        flat = jnp.moveaxis(cols, 1, 0).reshape(3, -1)[:, :n_px]
-        if perm_px is not None:
-            inv = jnp.zeros_like(perm_px).at[perm_px].set(
-                jnp.arange(n_px, dtype=perm_px.dtype))
-            flat = flat[:, inv]
-        return jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
-
-    colors = block_fn((flat_x, flat_y))
-    img = colors.reshape(cfg.height, cfg.width, cfg.spp, 3)
-    return jnp.mean(img, axis=2)
+        inv = jnp.zeros_like(perm_px).at[perm_px].set(
+            jnp.arange(n_px, dtype=perm_px.dtype))
+        flat = flat[:, inv]
+    return jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
 
 
 @functools.partial(jax.jit, static_argnums=1)

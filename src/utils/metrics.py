@@ -40,8 +40,10 @@ class Timer:
 
 
 def rays_per_frame(cfg, scene=None) -> int:
-    """Total rays traced for one frame: primary samples + shadow rays per
-    light (mirrors the reference's Mrays/s accounting of all traced rays)."""
+    """Rays counted for Mrays/s: primary samples + one shadow ray per light
+    per sample. AO taps and shadow-march steps are DE evaluations, not rays,
+    and are deliberately not counted (keeps the metric comparable across
+    shading configs)."""
     primary = cfg.width * cfg.height * cfg.spp
     shadow = 0
     if cfg.shadow != "none" and scene is not None:

@@ -136,3 +136,28 @@ def test_determinism_across_shardings(mesh8):
     b = np.asarray(jax.jit(lambda s: render_image_sharded(s, cfg, mesh4))(scene))
     # same per-lane math, different shard boundaries: identical is the goal
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_fit_objective_matches_single_device_spp4(mesh8):
+    """With spp > 1 the sharded loss must be the MSE of the spp-AVERAGED
+    image (same objective as make_fit_step), not a per-sample MSE."""
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16, spp=4, block_size=0)
+    target = render_image(scene, cfg) + 0.05
+    params = extract_params(scene, ("sdf.sph_radius", "materials.albedo"))
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    p1, _, l1 = make_fit_step(scene, cfg, target, opt)(params, st)
+    p2, _, l2 = make_sharded_fit_step(scene, cfg, target, opt, mesh8)(params, st)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-12)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]), atol=1e-9)
+
+
+def test_sharded_render_blocked_matches_unblocked(mesh8):
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    a = np.asarray(jax.jit(lambda s: render_image_sharded(
+        s, cfg.replace(width=32, height=16, block_size=0), mesh8))(scene))
+    b = np.asarray(jax.jit(lambda s: render_image_sharded(
+        s, cfg.replace(width=32, height=16, block_size=128), mesh8))(scene))
+    np.testing.assert_allclose(a, b, atol=1e-12)
