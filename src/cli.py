@@ -51,6 +51,9 @@ def cmd_render(args):
 
     scene, cfg = build_scene(args.scene)
     cfg = _apply_cfg_flags(cfg, args)
+    if args.turntable:
+        _render_turntable(args, scene, cfg)
+        return
     if args.sharded:
         from src.dist.sharding import make_mesh, render_image_sharded_jit
 
@@ -77,6 +80,42 @@ def cmd_render(args):
         from src.render.render import frame_stats
 
         print("[render] stats:", _json.dumps(frame_stats(scene, cfg)))
+
+
+def _render_turntable(args, scene, cfg):
+    """The CLI stand-in for the reference's interactive orbit view: N frames
+    around the scene's look_at point reuse ONE jitted executable (only the
+    camera pytree leaves change between frames)."""
+    import os
+
+    import numpy as np_
+    import jax
+    import jax.numpy as jnp
+    from src.render.render import render_image_jit
+    from src.utils.image_io import write_png
+    from src.utils.metrics import Timer, mrays_per_sec, rays_per_frame
+
+    n = args.turntable
+    center = np_.asarray(scene.camera.look_at)
+    offset = np_.asarray(scene.camera.origin) - center
+    radius = float(np_.hypot(offset[0], offset[2]))
+    phi0 = float(np_.arctan2(offset[0], offset[2]))
+    y = float(offset[1])
+    root, ext = os.path.splitext(args.out)
+    total = Timer().start()
+    for i in range(n):
+        phi = phi0 + 2.0 * np_.pi * i / n
+        origin = center + np_.asarray(
+            [radius * np_.sin(phi), y, radius * np_.cos(phi)])
+        s = scene.replace(camera=scene.camera.replace(
+            origin=jnp.asarray(origin, scene.camera.origin.dtype)))
+        img = np_.asarray(jax.block_until_ready(render_image_jit(s, cfg)))
+        write_png(f"{root}_{i:03d}{ext}", img)
+    secs = total.stop()
+    rays = rays_per_frame(cfg, scene) * n
+    print(f"[render] turntable {n} frames in {secs:.2f}s "
+          f"({secs / n * 1e3:.0f} ms/frame incl. PNG IO, "
+          f"{mrays_per_sec(rays, secs):.2f} Mrays/s) -> {root}_NNN{ext}")
 
 
 def cmd_fit(args):
@@ -176,6 +215,8 @@ def main(argv=None):
     p.add_argument("--sharded", action="store_true")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame ray statistics (hit rate, march steps)")
+    p.add_argument("--turntable", type=int, metavar="N",
+                   help="render N frames orbiting the scene (out gets _000.. suffixes)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace of the timed frame")
     _add_cfg_flags(p)
