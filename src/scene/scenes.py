@@ -142,9 +142,11 @@ def mandelbulb_scene(dtype=jnp.float32):
     scene = _base(dtype, cam, sdf=sdf,
                   albedos=[[0.85, 0.5, 0.3], [0.6, 0.62, 0.65]],
                   light_dir=(0.5, 0.75, 0.45))
+    # diff_vis=False: forward renders use the Pallas shadow/AO marches; flip
+    # it on only when optimizing THROUGH soft-shadow/AO factors
     cfg = RenderConfig(width=1024, height=1024, spp=4, method="sdf",
                        shadow="soft", ao="sdf5", max_steps=128, eps=6e-4,
-                       t_far=20.0, block_size=1 << 18)
+                       t_far=20.0, block_size=1 << 18, diff_vis=False)
     return scene, cfg
 
 
@@ -169,7 +171,9 @@ def mixed_scene(dtype=jnp.float32):
     scene = _base(dtype, cam, sdf=sdf, mesh=mesh,
                   albedos=[[0.82, 0.71, 0.55], [0.68, 0.7, 0.7],
                            [0.85, 0.45, 0.3], [0.3, 0.5, 0.85]]).with_grid()
+    # hard-shadow visibility is a 0/1 step with zero gradient, so
+    # diff_vis=False costs nothing and keeps the Pallas shadow kernel active
     cfg = RenderConfig(width=1920, height=1080, spp=16, method="mixed",
                        shadow="hard", max_steps=96, eps=1e-3, t_far=40.0,
-                       block_size=1 << 18)
+                       block_size=1 << 18, diff_vis=False)
     return scene, cfg
