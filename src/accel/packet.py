@@ -87,7 +87,11 @@ def fits_vmem(num_tris: int) -> bool:
     return packet_accel_bytes(num_tris) <= VMEM_BUDGET_BYTES
 
 
-def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
+def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
+                       tri_id_base: np.ndarray | None = None) -> PacketAccel:
+    """One VMEM-sized accel part. tri_id_base: optional (T,) original tri
+    ids for this subset (identity if omitted) — used by build_packet_parts to
+    split arbitrarily large meshes into sequentially-intersected parts."""
     verts = np.asarray(verts, np.float64)
     tris = np.asarray(tris, np.int64).reshape(-1, 3)
     T = tris.shape[0]
@@ -109,6 +113,8 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
     extent = np.maximum(centroid.max(0) - lo, 1e-12)
     q = np.clip(((centroid - lo) / extent * 1023).astype(np.int64), 0, 1023)
     order = np.argsort(_morton3(q), kind="stable")
+    ids = np.arange(T) if tri_id_base is None else np.asarray(tri_id_base)
+    order_ids = ids[order]
 
     tv = tv[order]
     Tpad = -(-T // CHUNK) * CHUNK
@@ -157,7 +163,7 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
         sup[si, 0:3] = lo_c[sl].min(0)
         sup[si, 3:6] = hi_c[sl].max(0)
 
-    perm = np.concatenate([order, np.full(pad, -1, np.int64)])
+    perm = np.concatenate([order_ids, np.full(pad, -1, np.int64)])
     return PacketAccel(
         corners=jnp.asarray(corners, jnp.float32),
         chunk_aabb=jnp.asarray(aabb),
@@ -165,3 +171,35 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray) -> PacketAccel:
         perm=jnp.asarray(perm, jnp.int32),
         num_tris=T,
     )
+
+
+def build_packet_parts(verts: np.ndarray, tris: np.ndarray,
+                       budget_bytes: int = VMEM_BUDGET_BYTES) -> list:
+    """Split a mesh into as many VMEM-sized packet parts as needed.
+
+    The whole mesh is Morton-sorted first so each contiguous part is
+    spatially compact (its chunks/supers cull well); parts are intersected
+    sequentially by the wrapper (kernels/pallas_mt.intersect_packet_parts),
+    each with its own hierarchy. Removes the single-part ~196k-triangle cap.
+    """
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    T = tris.shape[0]
+    if packet_accel_bytes(T) <= budget_bytes:
+        return [build_packet_accel(verts, tris)]
+    verts64 = np.asarray(verts, np.float64)
+    centroid = verts64[tris].mean(1)
+    lo = centroid.min(0)
+    extent = np.maximum(centroid.max(0) - lo, 1e-12)
+    q = np.clip(((centroid - lo) / extent * 1023).astype(np.int64), 0, 1023)
+    order = np.argsort(_morton3(q), kind="stable")
+    # max triangles per part under the VMEM budget, whole supers
+    per_super = CHUNK * SUPER
+    max_supers = 1
+    while packet_accel_bytes((max_supers + 1) * per_super) <= budget_bytes:
+        max_supers += 1
+    part_tris = max_supers * per_super
+    parts = []
+    for start in range(0, T, part_tris):
+        sel = order[start:start + part_tris]
+        parts.append(build_packet_accel(verts, tris[sel], tri_id_base=sel))
+    return parts

@@ -202,3 +202,30 @@ def any_hit_packet(accel: PacketAccel, o, d, t_max: float = BIG,
                    interpret: bool | None = None):
     return intersect_packet(accel, o, d, t_max=t_max, any_hit=True,
                             interpret=interpret).hit
+
+
+def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = False,
+                           sort_origin=None, interpret: bool | None = None) -> TriHit:
+    """Closest-hit (or any-hit) over a list of VMEM-sized accel parts.
+
+    Parts are intersected sequentially; each call's t_max shrinks to the best
+    t found so far is NOT possible per-ray across calls (t_max is static), but
+    each part's internal front-to-back culling still applies. Results merge by
+    min-t; perm in each part already maps to ORIGINAL triangle ids.
+    """
+    best = None
+    for accel in parts:
+        res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
+                               sort_origin=sort_origin, interpret=interpret)
+        if best is None:
+            best = res
+        elif any_hit:
+            hit = best.hit | res.hit
+            best = TriHit(jnp.where(best.hit, best.t, res.t),
+                          jnp.where(hit, 0, -1), hit)
+        else:
+            better = res.t < best.t
+            best = TriHit(jnp.where(better, res.t, best.t),
+                          jnp.where(better, res.tri, best.tri),
+                          best.hit | res.hit)
+    return best

@@ -139,11 +139,11 @@ def _trace_mesh_brute(scene: Scene, cfg: RenderConfig, o, d):
 
 def _trace_mesh_grid(scene: Scene, cfg: RenderConfig, o, d):
     if scene.packet is not None and use_pallas(cfg, o.dtype):
-        from src.kernels.pallas_mt import intersect_packet
+        from src.kernels.pallas_mt import intersect_packet_parts
 
         # primary rays share the camera origin -> front-to-back chunk order
-        res = intersect_packet(scene.packet, o, d, t_max=cfg.t_far,
-                               sort_origin=o[0])
+        res = intersect_packet_parts(scene.packet, o, d, t_max=cfg.t_far,
+                                     sort_origin=o[0])
     else:
         from src.kernels.dda import intersect_grid
 
@@ -211,9 +211,10 @@ def make_occluder(scene: Scene, cfg: RenderConfig, method: str):
         if use_mesh:
             if (scene.packet is not None and method in ("mesh_grid", "mixed")
                     and use_pallas(cfg, p.dtype)):
-                from src.kernels.pallas_mt import any_hit_packet
+                from src.kernels.pallas_mt import intersect_packet_parts
 
-                blocked = any_hit_packet(scene.packet, p, l_dir, t_max=cfg.t_far)
+                blocked = intersect_packet_parts(
+                    scene.packet, p, l_dir, t_max=cfg.t_far, any_hit=True).hit
             elif scene.grid is not None and method in ("mesh_grid", "mixed"):
                 from src.kernels.dda import any_hit_grid
 

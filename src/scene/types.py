@@ -70,13 +70,13 @@ class Scene:
         import numpy as np
 
         from src.accel.grid_build import build_grid
-        from src.accel.packet import build_packet_accel, fits_vmem
+        from src.accel.packet import build_packet_parts
 
         verts = np.asarray(self.mesh.verts)
         tris = np.asarray(self.mesh.tris)
-        # the packet kernel keeps its arrays VMEM-resident; meshes beyond the
-        # budget (~196k tris, see accel/packet.py) use the XLA grid-DDA path
-        packet = build_packet_accel(verts, tris) if fits_vmem(tris.shape[0]) else None
+        # list of VMEM-sized packet parts (one for meshes under ~196k tris;
+        # larger meshes split into sequentially-intersected parts)
+        packet = build_packet_parts(verts, tris) if tris.shape[0] else None
         return self.replace(
             grid=build_grid(verts, tris, density=density),
             packet=packet,

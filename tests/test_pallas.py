@@ -153,3 +153,33 @@ def test_bunny_render_packet_matches_grid():
     a = np.asarray(render_image(scene, cfg.replace(pallas="off")))
     b = np.asarray(render_image(scene, cfg.replace(pallas="on")))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_packet_parts_split_matches_brute():
+    """Meshes over the VMEM budget split into parts; the merged result must
+    equal brute force (tested with an artificially tiny budget)."""
+    from src.accel.packet import build_packet_parts, packet_accel_bytes
+    from src.kernels.pallas_mt import intersect_packet_parts
+    from src.kernels import moller_trumbore as mt
+    from src.scene.mesh import MeshScene, torus_knot
+
+    v, f = torus_knot(2, 3, 48, 48)  # 4608 tris = 2.25 supers
+    mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
+    # budget of exactly one super (2048 tris) -> 3 parts
+    parts = build_packet_parts(v, f, budget_bytes=packet_accel_bytes(2048))
+    assert len(parts) >= 2
+    rng = np.random.default_rng(11)
+    o = jnp.asarray(rng.uniform(-3, 3, (300, 3)), jnp.float32)
+    dd = rng.normal(size=(300, 3))
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    got = intersect_packet_parts(parts, o, d, interpret=True)
+    want = mt.intersect_brute(mesh, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.tri)[h], np.asarray(want.tri)[h])
+    ah = intersect_packet_parts(parts, o, d, t_max=4.0, any_hit=True,
+                                interpret=True).hit
+    bh = mt.any_hit_brute(mesh, o, d, t_max=4.0)
+    np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
