@@ -105,16 +105,23 @@ def sdf_normal(sdf, p, h=1e-6):
 
 
 def sphere_trace(sdf, o, d, max_steps, eps, t_far):
-    """Same step rule as src/kernels/sphere_trace.march, scalar."""
+    """Same step rule as src/kernels/sphere_trace.march, scalar.
+
+    Returns (t, hit, t_min): t_min is the ray parameter of the smallest DE
+    seen — the closest-approach point used for soft silhouettes.
+    """
     t = 0.0
+    dmin, tmin = 1e10, 0.0
     for _ in range(max_steps):
         if t >= t_far:
             break
         dist = sdf_distance(sdf, o + t * d)
+        if dist < dmin:
+            dmin, tmin = dist, t
         if dist < eps:
-            return t, True
+            return t, True, tmin
         t += dist
-    return t, False
+    return t, False, tmin
 
 
 # ---------------------------------------------------------------------------
@@ -127,11 +134,14 @@ def mesh_corners(mesh):
     return v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
 
 
-def intersect_mesh(mesh, o, d, t_max=BIG):
-    """Closest-hit over all triangles for one ray -> (t, tri_idx, hit)."""
+def intersect_mesh(mesh, o, d, t_max=BIG, corners=None):
+    """Closest-hit over all triangles for one ray -> (t, tri_idx, hit).
+
+    corners: optional precomputed mesh_corners(mesh) (invariant per frame;
+    render_image passes it down to avoid re-gathering per ray)."""
     if mesh.tris.shape[0] == 0:
         return BIG, -1, False
-    v0, v1, v2 = mesh_corners(mesh)
+    v0, v1, v2 = mesh_corners(mesh) if corners is None else corners
     e1 = v1 - v0
     e2 = v2 - v0
     pvec = np.cross(np.broadcast_to(d, e2.shape), e2)
@@ -235,37 +245,68 @@ def _resolve_method(scene, cfg):
     return "mesh_brute" if has_mesh else "sdf"
 
 
-def render_ray(scene, cfg, o, d, method=None):
+def _has_sdf(scene):
+    return (scene.sdf.sph_center.shape[0] + scene.sdf.pln_normal.shape[0]
+            + scene.sdf.box_center.shape[0] + scene.sdf.mb_center.shape[0]) > 0
+
+
+def render_ray(scene, cfg, o, d, method=None, corners=None):
     method = method or _resolve_method(scene, cfg)
     use_sdf = method in ("sdf", "mixed")
     use_mesh = method in ("mesh_brute", "mesh_grid", "mixed")
 
-    t_s, hit_s = (BIG, False)
+    t_s, hit_s, tmin_s = (BIG, False, 0.0)
     t_m, tri_m, hit_m = (BIG, -1, False)
+    cov_s = 0.0
     if use_sdf:
-        t_s, hit_s = sphere_trace(scene.sdf, o, d, cfg.max_steps, cfg.eps, cfg.t_far)
+        t_s, hit_s, tmin_s = sphere_trace(
+            scene.sdf, o, d, cfg.max_steps, cfg.eps, cfg.t_far)
+        if cfg.soft_silhouette > 0.0:
+            # mirrors src/render/render.py _trace_sdf: sigmoid coverage of the
+            # scene distance at the closest-approach point
+            d_min = sdf_distance(scene.sdf, o + tmin_s * d)
+            cov_s = 1.0 if hit_s else 1.0 / (1.0 + math.exp(
+                min(max(d_min / cfg.soft_silhouette, -60.0), 60.0)))
+        else:
+            cov_s = 1.0 if hit_s else 0.0
     if use_mesh:
-        t_m, tri_m, hit_m = intersect_mesh(scene.mesh, o, d, t_max=cfg.t_far)
+        t_m, tri_m, hit_m = intersect_mesh(scene.mesh, o, d, t_max=cfg.t_far,
+                                           corners=corners)
 
     te_s = t_s if hit_s else BIG
     te_m = t_m if hit_m else BIG
     hit = hit_s or hit_m
-    if not hit:
-        return background(scene, d)
     from_sdf = te_s <= te_m
-    t = t_s if from_sdf else t_m
-    p = o + t * d
+
+    # coverage (mirrors trace_rays "mixed" combination in src)
+    if use_sdf and cfg.soft_silhouette > 0.0:
+        if hit_m and not from_sdf:
+            cov = 1.0
+        else:
+            cov = max(cov_s, 1.0 if hit_m else 0.0)
+    else:
+        cov = 1.0 if hit else 0.0
+
+    bg = background(scene, d)
+    if cov == 0.0:
+        return bg
+
+    # surface point: for soft-silhouette misses, shade at the closest approach
     if from_sdf:
+        t_eff = t_s if (hit_s or cfg.soft_silhouette <= 0.0) else tmin_s
+        p = o + t_eff * d
         n = sdf_normal(scene.sdf, p)
         _, mat = sdf_distance(scene.sdf, p, with_mat=True)
     else:
+        p = o + t_m * d
         n = mesh_normal(scene.mesh, tri_m)
         mat = int(scene.mesh.tri_mat[tri_m])
 
     if np.dot(n, d) > 0.0:
         n = -n
 
-    if cfg.ao == "sdf5" and use_sdf:
+    # AO gate mirrors src make_ao: by scene CONTENT, not by method
+    if cfg.ao == "sdf5" and _has_sdf(scene):
         ao = ao_sdf(scene.sdf, p, n, cfg)
     else:
         ao = 1.0
@@ -278,17 +319,19 @@ def render_ray(scene, cfg, o, d, method=None):
         vis = 1.0
         if cfg.shadow != "none":
             p_off = p + cfg.shadow_bias * n
-            if use_sdf:
+            if use_sdf and _has_sdf(scene):
                 if cfg.shadow == "soft":
                     vis *= soft_shadow_sdf(scene.sdf, p_off, l, cfg)
                 else:
                     vis *= hard_shadow_sdf(scene.sdf, p_off, l, cfg)
             if use_mesh:
-                _, _, blocked = intersect_mesh(scene.mesh, p_off, l, t_max=cfg.t_far)
+                _, _, blocked = intersect_mesh(scene.mesh, p_off, l,
+                                               t_max=cfg.t_far, corners=corners)
                 vis *= 0.0 if blocked else 1.0
         radiance = radiance + scene.lights.color[li] * ndotl * vis
 
-    return scene.materials.albedo[mat] * radiance
+    color = scene.materials.albedo[mat] * radiance
+    return bg + cov * (color - bg)
 
 
 def sample_offsets(cfg):
@@ -300,15 +343,29 @@ def sample_offsets(cfg):
 
 def render_image(scene, cfg):
     """Full-frame scalar render -> float64 (H, W, 3). Slow; use small cfgs."""
+    if cfg.jitter_seed is not None:
+        raise NotImplementedError(
+            "the CPU reference cannot reproduce jax.random jitter sequences; "
+            "compare against the deterministic stratified sampler instead")
     scene = to_numpy_scene(scene)
     offs = sample_offsets(cfg)
     img = np.zeros((cfg.height, cfg.width, 3))
     method = _resolve_method(scene, cfg)
+    # per-frame invariants hoisted out of the pixel loops
+    corners = mesh_corners(scene.mesh) if scene.mesh.tris.shape[0] else None
+    fwd, right, up = _camera_basis(scene.camera)
+    half_h = math.tan(math.radians(float(scene.camera.vfov_deg)) * 0.5)
+    aspect = cfg.width / cfg.height
+    origin = scene.camera.origin
     for y in range(cfg.height):
         for x in range(cfg.width):
             acc = np.zeros(3)
             for sx, sy in offs:
-                o, d = generate_ray(scene.camera, x + sx, y + sy, cfg.width, cfg.height)
-                acc += render_ray(scene, cfg, o, d, method)
+                px = (2.0 * (x + sx) / cfg.width - 1.0) * half_h * aspect
+                py = (1.0 - 2.0 * (y + sy) / cfg.height) * half_h
+                d = fwd + px * right + py * up
+                d = d / np.linalg.norm(d)
+                acc += render_ray(scene, cfg, origin.copy(), d, method,
+                                  corners=corners)
             img[y, x] = acc / len(offs)
     return img

@@ -1,0 +1,48 @@
+"""CLI glue smoke tests (the reference's main.cpp equivalent, SURVEY.md §2 #18)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from src import cli
+
+
+def test_cli_scenes(capsys):
+    cli.main(["scenes"])
+    out = capsys.readouterr().out
+    for name in ("sphere", "triangles", "bunny", "mandelbulb", "mixed"):
+        assert name in out
+
+
+def test_cli_render_writes_png(tmp_path, capsys):
+    out = tmp_path / "r.png"
+    cli.main(["render", "--scene", "sphere", "--width", "32", "--height", "32",
+              "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 100
+    assert "Mrays/s" in capsys.readouterr().out
+
+
+def test_cli_render_turntable(tmp_path):
+    out = tmp_path / "t.png"
+    cli.main(["render", "--scene", "sphere", "--width", "16", "--height", "16",
+              "--out", str(out), "--turntable", "3"])
+    for i in range(3):
+        assert (tmp_path / f"t_{i:03d}.png").exists()
+
+
+def test_cli_fit_demo(tmp_path, capsys):
+    cli.main(["fit", "--scene", "sphere", "--trainable", "sdf.sph_radius",
+              "--steps", "3", "--width", "16", "--height", "16",
+              "--out", str(tmp_path / "f.png")])
+    out = capsys.readouterr().out
+    assert "final loss" in out
+    assert (tmp_path / "f.png").exists()
+
+
+def test_cli_bench_json(capsys):
+    cli.main(["bench", "--scene", "sphere", "--forward-only"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(line)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(data)
