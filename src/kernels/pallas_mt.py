@@ -47,13 +47,17 @@ def _use_interpret():
 def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: float = BIG, any_hit: bool = False,
                      sort_origin: jnp.ndarray | None = None,
+                     sort_dir: jnp.ndarray | None = None,
                      interpret: bool | None = None) -> TriHit:
     """Closest-hit (or any-hit) over all chunks for a flat f32 ray batch.
 
-    sort_origin: optional (3,) point; chunks are then visited in order of
-    distance from it (front-to-back for primary rays sharing that origin),
-    so an early hit shrinks best_t and the slab cull rejects every farther
-    chunk — the packet analog of DDA's near-to-far cell order.
+    sort_origin: optional (3,) point; supers are visited in order of distance
+    from it (front-to-back for primary rays sharing that origin), so an early
+    hit shrinks best_t and the slab cull rejects every farther chunk — the
+    packet analog of DDA's near-to-far cell order.
+    sort_dir: optional (3,) direction; supers are visited by ascending
+    projection onto it — the right order for shadow rays that all travel
+    toward the same (directional) light.
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -69,10 +73,13 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
         tiles.append(tc)
 
     n_supers = accel.super_aabb.shape[0]
+    centers = 0.5 * (accel.super_aabb[:, 0:3] + accel.super_aabb[:, 3:6])
     if sort_origin is not None:
-        centers = 0.5 * (accel.super_aabb[:, 0:3] + accel.super_aabb[:, 3:6])
         d2 = jnp.sum((centers - jax.lax.stop_gradient(sort_origin)) ** 2, axis=1)
         super_order = jnp.argsort(d2).astype(jnp.int32)
+    elif sort_dir is not None:
+        proj = centers @ jax.lax.stop_gradient(sort_dir)
+        super_order = jnp.argsort(proj).astype(jnp.int32)
     else:
         super_order = jnp.arange(n_supers, dtype=jnp.int32)
 
@@ -205,7 +212,8 @@ def any_hit_packet(accel: PacketAccel, o, d, t_max: float = BIG,
 
 
 def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = False,
-                           sort_origin=None, interpret: bool | None = None) -> TriHit:
+                           sort_origin=None, sort_dir=None,
+                           interpret: bool | None = None) -> TriHit:
     """Closest-hit (or any-hit) over a list of VMEM-sized accel parts.
 
     Parts are intersected sequentially; each call's t_max shrinks to the best
@@ -216,7 +224,8 @@ def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = Fals
     best = None
     for accel in parts:
         res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
-                               sort_origin=sort_origin, interpret=interpret)
+                               sort_origin=sort_origin, sort_dir=sort_dir,
+                               interpret=interpret)
         if best is None:
             best = res
         elif any_hit:

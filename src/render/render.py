@@ -213,8 +213,11 @@ def make_occluder(scene: Scene, cfg: RenderConfig, method: str):
                     and use_pallas(cfg, p.dtype)):
                 from src.kernels.pallas_mt import intersect_packet_parts
 
+                # shadow rays share the light direction: visit supers by
+                # ascending projection (blockers nearest the surfaces first)
                 blocked = intersect_packet_parts(
-                    scene.packet, p, l_dir, t_max=cfg.t_far, any_hit=True).hit
+                    scene.packet, p, l_dir, t_max=cfg.t_far, any_hit=True,
+                    sort_dir=l_dir[0]).hit
             elif scene.grid is not None and method in ("mesh_grid", "mixed"):
                 from src.kernels.dda import any_hit_grid
 
