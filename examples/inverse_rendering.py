@@ -1,0 +1,65 @@
+"""Inverse-rendering demo: recover SDF geometry and material from one image.
+
+Run from the repo root (TPU or CPU):
+
+    python examples/inverse_rendering.py [outdir]
+
+Renders a target image of the canonical sphere scene, perturbs the sphere's
+radius, center and albedo, then optimizes them back with the soft-silhouette
+coverage enabled (visibility gradients at the object edge — see
+RenderConfig.soft_silhouette). Writes target / initial / fitted PNGs.
+
+Practical notes encoded here:
+  * a moderate silhouette width (0.05) extends visibility gradients a few
+    pixels past the edge; large displacements additionally need a
+    coarse-to-fine width schedule or they can fall into the "inflate toward
+    the camera" local optimum (classic differentiable-rendering pathology);
+  * hard shadows/AO need no diff_vis — their gradients are zero/smooth.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from src.fit import apply_params, fit
+from src.render.render import render_image_jit
+from src.scene.scenes import build_scene
+from src.utils.config import FitConfig
+from src.utils.image_io import write_png
+
+
+def main(outdir: str = "."):
+    scene, cfg = build_scene("sphere")
+    cfg = cfg.replace(width=256, height=256, soft_silhouette=0.05)
+    hard = cfg.replace(soft_silhouette=0.0)
+
+    target = render_image_jit(scene, hard)
+    write_png(f"{outdir}/fit_target.png", np.asarray(target))
+
+    init = apply_params(scene, {
+        "sdf.sph_radius": jnp.asarray([0.55], jnp.float32),
+        "sdf.sph_center": jnp.asarray([[0.25, 0.15, 0.0]], jnp.float32),
+        "materials.albedo": jnp.asarray([[0.2, 0.5, 0.8]], jnp.float32),
+    })
+    write_png(f"{outdir}/fit_init.png", np.asarray(render_image_jit(init, hard)))
+
+    fitted, hist = fit(init, cfg, target,
+                       ["sdf.sph_radius", "sdf.sph_center", "materials.albedo"],
+                       FitConfig(steps=200, learning_rate=1e-2), verbose=False)
+    write_png(f"{outdir}/fit_result.png",
+              np.asarray(render_image_jit(fitted, hard)))
+
+    print(f"loss: {hist[0]:.4f} -> {hist[-1]:.2e}")
+    print("radius:", round(float(fitted.sdf.sph_radius[0]), 4), "(target 1.0)")
+    print("center:", np.asarray(fitted.sdf.sph_center[0]).round(3), "(target 0 0 0)")
+    print("albedo:", np.asarray(fitted.materials.albedo[0]).round(3),
+          "(target 0.9 0.35 0.25)")
+    return fitted, hist
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else ".")

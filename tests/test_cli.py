@@ -46,3 +46,17 @@ def test_cli_bench_json(capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     data = json.loads(line)
     assert {"metric", "value", "unit", "vs_baseline"} <= set(data)
+
+
+def test_inverse_rendering_example_converges(tmp_path):
+    """The repo example must actually recover the scene (small budget)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "inverse_rendering", "examples/inverse_rendering.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import src.utils.config as cfgmod  # noqa: F401
+    # shrink the budget for CI speed by monkeypatching FitConfig default use
+    fitted, hist = mod.main(str(tmp_path))
+    assert hist[-1] < hist[0] * 0.25
+    assert abs(float(fitted.sdf.sph_radius[0]) - 1.0) < 0.2
