@@ -33,6 +33,7 @@ from src.utils.image_io import write_png
 
 
 def main(outdir: str = "."):
+    os.makedirs(outdir, exist_ok=True)
     scene, cfg = build_scene("sphere")
     cfg = cfg.replace(width=256, height=256, soft_silhouette=0.05)
     hard = cfg.replace(soft_silhouette=0.0)

@@ -87,6 +87,15 @@ def fits_vmem(num_tris: int) -> bool:
     return packet_accel_bytes(num_tris) <= VMEM_BUDGET_BYTES
 
 
+def _morton_order(verts64: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Stable Morton ordering of triangle indices by quantized centroid."""
+    centroid = verts64[tris].mean(1)
+    lo = centroid.min(0)
+    extent = np.maximum(centroid.max(0) - lo, 1e-12)
+    q = np.clip(((centroid - lo) / extent * 1023).astype(np.int64), 0, 1023)
+    return np.argsort(_morton3(q), kind="stable")
+
+
 def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
                        tri_id_base: np.ndarray | None = None) -> PacketAccel:
     """One VMEM-sized accel part. tri_id_base: optional (T,) original tri
@@ -108,11 +117,7 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
         )
 
     tv = verts[tris]  # (T, 3, 3)
-    centroid = tv.mean(1)
-    lo = centroid.min(0)
-    extent = np.maximum(centroid.max(0) - lo, 1e-12)
-    q = np.clip(((centroid - lo) / extent * 1023).astype(np.int64), 0, 1023)
-    order = np.argsort(_morton3(q), kind="stable")
+    order = _morton_order(verts, tris)
     ids = np.arange(T) if tri_id_base is None else np.asarray(tri_id_base)
     order_ids = ids[order]
 
@@ -187,13 +192,13 @@ def build_packet_parts(verts: np.ndarray, tris: np.ndarray,
     if packet_accel_bytes(T) <= budget_bytes:
         return [build_packet_accel(verts, tris)]
     verts64 = np.asarray(verts, np.float64)
-    centroid = verts64[tris].mean(1)
-    lo = centroid.min(0)
-    extent = np.maximum(centroid.max(0) - lo, 1e-12)
-    q = np.clip(((centroid - lo) / extent * 1023).astype(np.int64), 0, 1023)
-    order = np.argsort(_morton3(q), kind="stable")
+    order = _morton_order(verts64, tris)
     # max triangles per part under the VMEM budget, whole supers
     per_super = CHUNK * SUPER
+    if packet_accel_bytes(per_super) > budget_bytes:
+        raise ValueError(
+            f"budget_bytes={budget_bytes} is below one super-chunk's footprint "
+            f"({packet_accel_bytes(per_super)} bytes); cannot split smaller")
     max_supers = 1
     while packet_accel_bytes((max_supers + 1) * per_super) <= budget_bytes:
         max_supers += 1

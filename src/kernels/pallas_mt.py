@@ -23,12 +23,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from src.accel.packet import CHUNK, ROWS_PER_CHUNK, SUPER, PacketAccel
-from src.kernels.moller_trumbore import BIG, TriHit
+from src.kernels.moller_trumbore import BIG, TriHit, _DET_EPS, _T_MIN
 
 TILE = (8, 128)
 TILE_RAYS = TILE[0] * TILE[1]
-_DET_EPS = 1e-10
-_T_MIN = 1e-5
 
 
 def _tileize(x):
@@ -196,7 +194,10 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
 
     t = t.reshape(-1)[:R]
     tri_sorted = tri_f.reshape(-1)[:R].astype(jnp.int32)
-    hit = (tri_sorted >= 0) & (t < t_far * (1.0 - 1e-7))
+    # a recorded tri implies a strictly valid hit (the in-kernel `valid`
+    # already requires t < t_far); extra slack here would drop boundary hits
+    # the brute/DDA oracles accept
+    hit = tri_sorted >= 0
     if any_hit:
         # any-hit short-circuits: t/tri are "some blocker", not the closest
         return TriHit(jnp.where(hit, t, BIG), jnp.where(hit, 0, -1), hit)
