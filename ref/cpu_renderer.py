@@ -69,6 +69,32 @@ def mandelbulb_de(p, power, iters):
     return 0.5 * math.log(r) * r / dr
 
 
+def mandelbulb_de_pow8(p, iters):
+    """Scalar mirror of src/sdf/mandelbulb.mandelbulb_de_pow8: trig-free
+    power-8 iteration (angle-doubling identities; r^8 by plain multiplies)."""
+    z = p.copy()
+    dr = 1.0
+    r = max(np.linalg.norm(p), _MB_RMIN)
+    for _ in range(iters):
+        r = max(np.linalg.norm(z), _MB_RMIN)
+        if r > _MB_BAILOUT:
+            break
+        rho2 = max(z[0] * z[0] + z[1] * z[1], _MB_RMIN * _MB_RMIN)
+        rho = math.sqrt(rho2)
+        h = math.sqrt(rho2 + z[2] * z[2])
+        st, ct = rho / h, z[2] / h
+        sp, cp = z[1] / rho, z[0] / rho
+        for _ in range(3):
+            st, ct = 2.0 * st * ct, ct * ct - st * st
+            sp, cp = 2.0 * sp * cp, cp * cp - sp * sp
+        r7 = r ** 7
+        r8 = r7 * r
+        dr = 8.0 * r7 * dr + 1.0
+        z = r8 * np.array([st * cp, st * sp, ct]) + p
+    r = max(r, _MB_RMIN)
+    return 0.5 * math.log(r) * r / dr
+
+
 def sdf_distance(sdf, p, with_mat=False):
     """Scene distance at a single point p (3,). sdf is the numpy SdfScene."""
     best = BIG
@@ -87,7 +113,10 @@ def sdf_distance(sdf, p, with_mat=False):
         if d < best:
             best, best_mat = d, int(m)
     for c, s, pw, m in zip(sdf.mb_center, sdf.mb_scale, sdf.mb_power, sdf.mb_mat):
-        d = mandelbulb_de((p - c) / s, pw, sdf.mb_iters) * s
+        if getattr(sdf, "mb_pow8", False):
+            d = mandelbulb_de_pow8((p - c) / s, sdf.mb_iters) * s
+        else:
+            d = mandelbulb_de((p - c) / s, pw, sdf.mb_iters) * s
         if d < best:
             best, best_mat = d, int(m)
     return (best, best_mat) if with_mat else best
@@ -171,10 +200,11 @@ def mesh_normal(mesh, tri_idx):
 # Shading (mirrors src/render/shading.py)
 # ---------------------------------------------------------------------------
 
-def hard_shadow_sdf(sdf, p, l_dir, cfg):
+def hard_shadow_sdf(sdf, p, l_dir, cfg, t_far=None):
+    t_far = cfg.t_far if t_far is None else t_far
     t = cfg.shadow_bias
     for _ in range(cfg.shadow_steps):
-        if t >= cfg.t_far:
+        if t >= t_far:
             break
         dd = sdf_distance(sdf, p + t * l_dir)
         if dd < cfg.eps:
@@ -183,11 +213,12 @@ def hard_shadow_sdf(sdf, p, l_dir, cfg):
     return 1.0
 
 
-def soft_shadow_sdf(sdf, p, l_dir, cfg):
+def soft_shadow_sdf(sdf, p, l_dir, cfg, t_far=None):
+    t_far = cfg.t_far if t_far is None else t_far
     t = cfg.shadow_bias
     s = 1.0
     for _ in range(cfg.shadow_steps):
-        if t >= cfg.t_far:
+        if t >= t_far:
             break
         dd = sdf_distance(sdf, p + t * l_dir)
         s = min(s, cfg.soft_k * dd / max(t, cfg.shadow_bias))
@@ -330,6 +361,37 @@ def render_ray(scene, cfg, o, d, method=None, corners=None):
                 vis *= 0.0 if blocked else 1.0
         radiance = radiance + scene.lights.color[li] * ndotl * vis
 
+    for pi in range(scene.lights.position.shape[0]):
+        # point light: per-ray direction, inverse-square falloff, shadow
+        # marches clamped at the light distance (mirrors src shading.shade)
+        lpos = scene.lights.position[pi]
+        p_off = p + cfg.shadow_bias * n
+        lvec = lpos - p
+        dist2 = max(float(np.dot(lvec, lvec)), 1e-12)
+        dist = math.sqrt(dist2)
+        l = lvec / dist
+        ndotl = max(float(np.dot(n, l)), 0.0)
+        vis = 1.0
+        if cfg.shadow != "none":
+            lvec_off = lpos - p_off
+            dist_off = max(float(np.linalg.norm(lvec_off)), 1e-12)
+            l_off = lvec_off / dist_off
+            if use_sdf and _has_sdf(scene):
+                if cfg.shadow == "soft":
+                    vis *= soft_shadow_sdf(scene.sdf, p_off, l_off, cfg,
+                                           t_far=dist_off)
+                else:
+                    vis *= hard_shadow_sdf(scene.sdf, p_off, l_off, cfg,
+                                           t_far=dist_off)
+            if use_mesh:
+                # unnormalized segment with t_max = 1: occluders beyond the
+                # light cannot block (MT is t-scale invariant)
+                _, _, blocked = intersect_mesh(scene.mesh, p_off, lvec_off,
+                                               t_max=1.0, corners=corners)
+                vis *= 0.0 if blocked else 1.0
+        radiance = radiance + scene.lights.pos_color[pi] * (
+            ndotl * vis / max(dist2, 1e-8))
+
     color = scene.materials.albedo[mat] * radiance
     return bg + cov * (color - bg)
 
@@ -341,12 +403,33 @@ def sample_offsets(cfg):
     return np.stack([ox.ravel(), oy.ravel()], -1)
 
 
+def jitter_offsets(cfg, dtype):
+    """(H, W, spp, 2) seeded jitter offsets in pixel units, bit-identical to
+    src/render/render.pixel_sample_coords: the jax.random.uniform draw is the
+    *specification* of the sample sequence (threefry bits), so the oracle
+    reproduces it via jax.random on the host and then stays scalar numpy."""
+    import jax
+
+    k = cfg.spp_side
+    key = jax.random.PRNGKey(cfg.jitter_seed)
+    u = np.asarray(jax.random.uniform(
+        key, (cfg.height, cfg.width, cfg.spp, 2), dtype), np.float64)
+    cell_x = np.arange(cfg.spp) % k
+    cell_y = np.arange(cfg.spp) // k
+    off = np.empty((cfg.height, cfg.width, cfg.spp, 2))
+    off[..., 0] = (cell_x + u[..., 0]) / k
+    off[..., 1] = (cell_y + u[..., 1]) / k
+    return off
+
+
 def render_image(scene, cfg):
     """Full-frame scalar render -> float64 (H, W, 3). Slow; use small cfgs."""
+    jit_off = None
     if cfg.jitter_seed is not None:
-        raise NotImplementedError(
-            "the CPU reference cannot reproduce jax.random jitter sequences; "
-            "compare against the deterministic stratified sampler instead")
+        import jax.numpy as jnp
+
+        dt = jnp.asarray(scene.camera.origin).dtype
+        jit_off = jitter_offsets(cfg, dt)
     scene = to_numpy_scene(scene)
     offs = sample_offsets(cfg)
     img = np.zeros((cfg.height, cfg.width, 3))
@@ -360,7 +443,9 @@ def render_image(scene, cfg):
     for y in range(cfg.height):
         for x in range(cfg.width):
             acc = np.zeros(3)
-            for sx, sy in offs:
+            for si, (sx, sy) in enumerate(offs):
+                if jit_off is not None:
+                    sx, sy = jit_off[y, x, si]
                 px = (2.0 * (x + sx) / cfg.width - 1.0) * half_h * aspect
                 py = (1.0 - 2.0 * (y + sy) / cfg.height) * half_h
                 d = fwd + px * right + py * up

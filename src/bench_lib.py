@@ -72,7 +72,10 @@ def run_bench(scene_name: str = "mixed", backward: bool = True,
     }
 
     if backward:
-        trainable = [p for p in ("sdf.sph_radius", "sdf.mb_power", "camera.origin",
+        # mb_scale (not mb_power): the trig-free power-8 DE fast path
+        # hard-codes the exponent, so power is not a bench-time parameter;
+        # scale/center carry the same IFT gradient structure
+        trainable = [p for p in ("sdf.sph_radius", "sdf.mb_scale", "camera.origin",
                                  "materials.albedo", "lights.color", "mesh.verts")
                      if _has_param(scene, p)]
         params = extract_params(scene, trainable)

@@ -64,7 +64,8 @@ def shard_sample_coords(cfg: RenderConfig, dtype, n_dev: int):
 
 
 def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
-                         gather: bool = True) -> jnp.ndarray:
+                         gather: bool = True,
+                         scene_shards: bool = False) -> jnp.ndarray:
     """Full frame with rays sharded over the mesh -> (H, W, 3).
 
     Scene is replicated; each shard generates and renders its own whole-pixel
@@ -72,6 +73,12 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     see render.render_pixels_flat). With gather=False the result stays
     sharded (multi-host: each host keeps only its shard; see
     dist.multihost.write_image_per_host).
+
+    scene_shards=True additionally PARTITIONS the mesh's packet accel across
+    the device ring (SURVEY.md §2b P3): each chip holds 1/N of the triangle
+    chunks and accel shards rotate past the resident rays via ppermute
+    (dist.scene_shard.intersect_ring_packet) — per-chip accel memory drops
+    N x, which is what lets meshes beyond one chip's budget render.
     """
     from src.render.render import render_pixels_flat
 
@@ -80,16 +87,28 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     n_dev = mesh.devices.size
     flat_x, flat_y, n_px = shard_sample_coords(cfg, dtype, n_dev)
 
+    ring = None
+    if scene_shards and scene.has_mesh:
+        from src.dist.scene_shard import build_ring_packet
+
+        ring = build_ring_packet(np.asarray(scene.mesh.verts),
+                                 np.asarray(scene.mesh.tris), n_dev)
+        scene = scene.replace(grid=None, packet=None)
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(None, RAY_AXIS),
         check_vma=False,
     )
-    def shard_render(scene_rep, xs, ys):
+    def shard_render(scene_rep, ring_blk, xs, ys):
+        if ring_blk is not None:
+            from src.dist.scene_shard import ring_local
+
+            scene_rep = scene_rep.replace(ring=ring_local(ring_blk))
         return render_pixels_flat(scene_rep, cfg, xs, ys, method)  # (3, px)
 
-    flat = shard_render(scene, flat_x, flat_y)[:, :n_px]
+    flat = shard_render(scene, ring, flat_x, flat_y)[:, :n_px]
     img = jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
     if gather:
         img = jax.lax.with_sharding_constraint(

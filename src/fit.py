@@ -92,11 +92,17 @@ def make_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
 
 def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
                           optimizer: optax.GradientTransformation, mesh,
-                          grad_buckets: int = 4):
+                          grad_buckets: int = 4, scene_shards: bool = False):
     """Data-parallel fit step over a device mesh (pixel-shard DP).
 
     target: (H, W, 3) full target image (replicated in; sharded internally).
     Loss/grads are exact global quantities (bucketed psum inside shard_map).
+
+    scene_shards=True partitions the mesh packet accel around the device ring
+    (see sharding.render_image_sharded): the geometry pass intersects via
+    ppermute-rotated accel shards, while the differentiable recompute still
+    reads the (replicated) raw mesh — so vertex gradients are exact and the
+    dominant accel memory is sharded N x.
     """
     from src.dist.sharding import shard_sample_coords
     from src.render.render import render_pixels_flat
@@ -104,6 +110,15 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
     dtype = scene.camera.origin.dtype
     method = resolve_method(scene, cfg)
     n_dev = mesh.devices.size
+    ring = None
+    if scene_shards and scene.has_mesh:
+        import numpy as np
+
+        from src.dist.scene_shard import build_ring_packet
+
+        ring = build_ring_packet(np.asarray(scene.mesh.verts),
+                                 np.asarray(scene.mesh.tris), n_dev)
+        scene = scene.replace(grid=None, packet=None)
     # whole pixels per shard, so the loss is the MSE of the spp-AVERAGED
     # image — identical objective to make_fit_step (per-sample MSE would add
     # a parameter-dependent intra-pixel variance term)
@@ -118,13 +133,18 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(None, RAY_AXIS), P(RAY_AXIS)),
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  P(None, RAY_AXIS), P(RAY_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def loss_and_grad(params, xs, ys, t, wt):
+    def loss_and_grad(params, ring_blk, xs, ys, t, wt):
         def local_loss(params_):
             s = apply_params(scene, params_)
+            if ring_blk is not None:
+                from src.dist.scene_shard import ring_local
+
+                s = s.replace(ring=ring_local(ring_blk))
             px = render_pixels_flat(s, cfg, xs, ys, method)  # (3, px_shard)
             return jnp.sum(wt[None, :] * (px - t) ** 2) / denom
 
@@ -135,7 +155,7 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
 
     @jax.jit
     def step(params: ParamDict, opt_state):
-        loss, grads = loss_and_grad(params, flat_x, flat_y, tgt, w)
+        loss, grads = loss_and_grad(params, ring, flat_x, flat_y, tgt, w)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -153,6 +173,12 @@ def fit(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
     """Optimize `trainable` scene leaves to match `target`. Returns
     (fitted_scene, loss_history). Checkpoints + resume if checkpoint_dir set."""
     from src.utils import checkpoint as ckpt_lib
+
+    if "sdf.mb_power" in trainable and scene.sdf.mb_pow8:
+        # the trig-free power-8 fast path hard-codes power=8 and ignores the
+        # mb_power array — switch back to the generic DE so power gradients
+        # exist (src/sdf/primitives.py SdfScene.mb_pow8)
+        scene = scene.replace(sdf=scene.sdf.replace(mb_pow8=False))
 
     if any(p.split(".")[0] == "mesh" for p in trainable):
         # vertex positions are being optimized: the grid/packet acceleration

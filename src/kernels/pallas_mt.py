@@ -46,6 +46,7 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
                      t_max: float = BIG, any_hit: bool = False,
                      sort_origin: jnp.ndarray | None = None,
                      sort_dir: jnp.ndarray | None = None,
+                     t_init: jnp.ndarray | None = None,
                      interpret: bool | None = None) -> TriHit:
     """Closest-hit (or any-hit) over all chunks for a flat f32 ray batch.
 
@@ -56,6 +57,12 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
     sort_dir: optional (3,) direction; supers are visited by ascending
     projection onto it — the right order for shadow rays that all travel
     toward the same (directional) light.
+    t_init: optional per-ray (R,) initial best-t bound (<= t_max). Rides as a
+    7th ray-component tile and seeds the kernel's best_t, so chunks beyond a
+    hit already found by a PREVIOUS part / ring shard are slab-culled — the
+    cross-part running-t_max shrink. Only strictly-better hits are recorded
+    (tri stays -1 otherwise); callers fold results across calls. For any-hit
+    callers, passing 0.0 for already-blocked rays culls all their work.
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -64,9 +71,14 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
     dtype = o.dtype
     t_far = float(min(t_max, BIG))
 
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    n_ray_ops = 6
+    if t_init is not None:
+        comps.append(jax.lax.stop_gradient(t_init))
+        n_ray_ops = 7
     tiles = []
     R = nt = None
-    for c in [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]:
+    for c in comps:
         tc, R, nt = _tileize(c)
         tiles.append(tc)
 
@@ -81,8 +93,10 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
     else:
         super_order = jnp.arange(n_supers, dtype=jnp.int32)
 
-    def kernel(order_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               cor_ref, aabb_ref, sup_ref, t_ref, tri_ref):
+    def kernel(*refs):
+        (order_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[:7]
+        ti_ref = refs[7] if n_ray_ops == 7 else None
+        cor_ref, aabb_ref, sup_ref, t_ref, tri_ref = refs[1 + n_ray_ops:]
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
@@ -90,7 +104,9 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
         inv_y = sgn(dy) / jnp.maximum(jnp.abs(dy), 1e-12)
         inv_z = sgn(dz) / jnp.maximum(jnp.abs(dz), 1e-12)
 
-        t_ref[:] = ox * 0.0 + t_far
+        # per-ray best-t seed (cross-part/ring shrink) or the static t_far
+        t_ref[:] = jnp.minimum(ti_ref[:], t_far) if ti_ref is not None \
+            else ox * 0.0 + t_far
         tri_ref[:] = ox * 0.0 - 1.0  # f32 triangle slot (exact ints < 2^24)
 
         def slab(ab, best):
@@ -181,8 +197,9 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[ray_spec] * 6 + [full(accel.corners), full(accel.chunk_aabb),
-                                   full(accel.super_aabb)],
+        in_specs=[ray_spec] * n_ray_ops + [full(accel.corners),
+                                           full(accel.chunk_aabb),
+                                           full(accel.super_aabb)],
         out_specs=[ray_spec, ray_spec],
     )
     t, tri_f = pl.pallas_call(
@@ -217,16 +234,18 @@ def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = Fals
                            interpret: bool | None = None) -> TriHit:
     """Closest-hit (or any-hit) over a list of VMEM-sized accel parts.
 
-    Parts are intersected sequentially; each call's t_max shrinks to the best
-    t found so far is NOT possible per-ray across calls (t_max is static), but
-    each part's internal front-to-back culling still applies. Results merge by
-    min-t; perm in each part already maps to ORIGINAL triangle ids.
+    Parts are intersected sequentially with the running per-ray best t
+    threaded into each next call as its t_init seed (cross-part t_max
+    shrink): part N+1 slab-culls every chunk beyond part N's hits. Any-hit
+    threads a 0-seed for already-blocked rays, culling all their work.
+    Results merge by min-t; perm in each part maps to ORIGINAL triangle ids.
     """
     best = None
+    t_run = None
     for accel in parts:
         res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
                                sort_origin=sort_origin, sort_dir=sort_dir,
-                               interpret=interpret)
+                               t_init=t_run, interpret=interpret)
         if best is None:
             best = res
         elif any_hit:
@@ -234,8 +253,13 @@ def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = Fals
             best = TriHit(jnp.where(best.hit, best.t, res.t),
                           jnp.where(hit, 0, -1), hit)
         else:
-            better = res.t < best.t
+            better = res.hit & (res.t < best.t)
             best = TriHit(jnp.where(better, res.t, best.t),
                           jnp.where(better, res.tri, best.tri),
                           best.hit | res.hit)
+        if len(parts) > 1:
+            if any_hit:
+                t_run = jnp.where(best.hit, 0.0, jnp.full_like(best.t, t_max))
+            else:
+                t_run = jnp.minimum(best.t, t_max)
     return best

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from src.sdf.mandelbulb import mandelbulb_de_pow8_components
 from src.sdf.primitives import BIG, SdfScene, sdf_bounding_spheres
 
 TILE = (8, 128)
@@ -139,11 +140,15 @@ def de_tile(sdf: SdfScene, px, py, pz):
         d = jnp.minimum(d, outside + inside - sdf.box_round[i])
     for i in range(sdf.mb_center.shape[0]):
         s = sdf.mb_scale[i]
-        di = _mandelbulb_de_tile(
-            (px - sdf.mb_center[i, 0]) / s,
-            (py - sdf.mb_center[i, 1]) / s,
-            (pz - sdf.mb_center[i, 2]) / s,
-            sdf.mb_power[i], sdf.mb_iters) * s
+        lx = (px - sdf.mb_center[i, 0]) / s
+        ly = (py - sdf.mb_center[i, 1]) / s
+        lz = (pz - sdf.mb_center[i, 2]) / s
+        if sdf.mb_pow8:
+            # trig-free power-8 path — the same component-array function the
+            # jnp field uses (src/sdf/mandelbulb.py), so pallas == jnp exactly
+            di = mandelbulb_de_pow8_components(lx, ly, lz, sdf.mb_iters) * s
+        else:
+            di = _mandelbulb_de_tile(lx, ly, lz, sdf.mb_power[i], sdf.mb_iters) * s
         d = jnp.minimum(d, di)
     return d
 
@@ -311,23 +316,40 @@ def march_pallas(sdf: SdfScene, o: jnp.ndarray, d: jnp.ndarray, *,
 def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
                   soft: bool, eps: float, t_far: float, steps: int,
                   bias: float, soft_k: float = 8.0,
+                  t_far_rays: jnp.ndarray | None = None,
                   interpret: bool | None = None):
     """Visibility march toward the light; mirrors shading.sdf_hard_shadow /
-    sdf_soft_shadow step rules exactly. -> (R,) visibility in [0,1]."""
+    sdf_soft_shadow step rules exactly. -> (vis, t_s), both (R,).
+
+    t_s is the march parameter at which the soft-shadow penumbra min was
+    attained (shading.sdf_soft_shadow_argmin): the residual that lets the
+    differentiable shade pass recompute the penumbra factor from ONE DE
+    evaluation instead of re-marching (render.py split backward). For hard
+    shadows t_s is the bias (unused — hard visibility is stop-gradient).
+
+    t_far_rays: optional per-ray (R,) march cutoff (point lights clamp at the
+    light distance); rides as a 7th ray-component operand tile."""
     if interpret is None:
         interpret = _use_interpret()
     dtype = p.dtype
+    comps = [p[:, 0], p[:, 1], p[:, 2], l_dir[:, 0], l_dir[:, 1], l_dir[:, 2]]
+    n_ray_ops = 6
+    if t_far_rays is not None:
+        comps.append(t_far_rays)
+        n_ray_ops = 7
     tiles = []
     R = nt = None
-    for c in [p[:, 0], p[:, 1], p[:, 2], l_dir[:, 0], l_dir[:, 1], l_dir[:, 2]]:
+    for c in comps:
         tc, R, nt = _tileize(c)
         tiles.append(tc)
     operands, rebuild = _flatten_sdf(sdf)
 
     def kernel(*refs):
         px, py, pz, lx, ly, lz = (refs[i][:] for i in range(6))
-        sdf_k = rebuild([refs[6 + i][:] for i in range(len(operands))])
-        vis_ref = refs[6 + len(operands)]
+        t_far_k = refs[6][:] if n_ray_ops == 7 else t_far
+        sdf_k = rebuild([refs[n_ray_ops + i][:] for i in range(len(operands))])
+        vis_ref = refs[n_ray_ops + len(operands)]
+        ts_ref = refs[n_ray_ops + 1 + len(operands)]
 
         zero = px * 0.0  # tiled-layout zero (see march kernel layout note)
         t0_arr = zero + bias
@@ -335,20 +357,24 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
             s0 = zero + 1.0
 
             def cond(carry):
-                step, t, s = carry
+                step, t, s, ts = carry
                 return (step < steps) & jnp.any(t < t_far)
 
             def body(carry):
-                step, t, s = carry
+                step, t, s, ts = carry
                 active = t < t_far
                 dd = de_tile(sdf_k, px + t * lx, py + t * ly, pz + t * lz)
-                s_new = jnp.minimum(s, soft_k * dd / jnp.maximum(t, bias))
-                s = jnp.where(active, s_new, s)
+                s_new = soft_k * dd / jnp.maximum(t, bias)
+                better = active & (s_new < s)
+                ts = jnp.where(better, t, ts)
+                s = jnp.where(better, s_new, s)
                 t = jnp.where(active, t + jnp.clip(dd, eps * 0.5, 0.4), t)
-                return step + 1, t, s
+                return step + 1, t, s, ts
 
-            _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), t0_arr, s0))
+            _, _, s, ts = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), t0_arr, s0, t0_arr))
             vis_ref[:] = jnp.clip(s, 0.0, 1.0)
+            ts_ref[:] = ts
         else:
             blocked0 = zero  # f32 mask carry (no i1 vector carries in Mosaic)
 
@@ -368,15 +394,16 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
             _, _, blocked = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), t0_arr, blocked0))
             vis_ref[:] = 1.0 - blocked
+            ts_ref[:] = t0_arr
 
-    out_shape = jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype)
-    in_specs = (_ray_specs(6, nt) + [_full_spec(op) for op in operands])
-    vis = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype)] * 2
+    in_specs = (_ray_specs(n_ray_ops, nt) + [_full_spec(op) for op in operands])
+    vis, ts = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)] * 2,
         out_shape=out_shape,
         interpret=interpret,
     )(*tiles, *operands)
-    return vis.reshape(-1)[:R]
+    return vis.reshape(-1)[:R], ts.reshape(-1)[:R]

@@ -68,44 +68,32 @@ def march(de_fn: Callable, scene, o, d, *, t0, max_steps: int, eps: float, t_far
     return t, hit, steps, tmin
 
 
-def make_sphere_tracer(de_fn: Callable, *, max_steps: int, eps: float, t_far: float,
-                       t0: float = 0.0, forward_impl: str = "jnp"):
-    """Build a differentiable tracer trace(scene, o, d) -> (t, hit, steps).
+def make_ift_attach(de_fn: Callable):
+    """Build attach(scene, o, d, t_bar, hit_f) -> t: value-identity on the
+    non-differentiated march result t_bar, with the implicit-function-theorem
+    pullback as its gradient.
 
-    Gradients flow into scene params, o and d via the IFT at the hit point;
-    non-hit rays contribute zero gradient. `steps` is diagnostic (int32).
+    This is the residual-based "hand-derived backward" building block
+    (BASELINE.json north_star; VERDICT r1 item 1): the expensive fixed-point
+    march runs ONCE outside the autodiff region and emits t_bar as a compact
+    residual; attaching gradients costs one DE JVP (the denominator
+    dDE/dt) plus one DE VJP (the numerator pullback) at the hit point —
+    O(1) in the step count, and never recomputed by rematerialization.
 
-    forward_impl: "jnp" (lockstep batch march) or "pallas" (fused (8,128)
-    ray-tile kernel with per-tile early exit, src/kernels/pallas_sdf.py).
-    The backward pass is the SAME IFT pullback either way — only the forward
-    fixed-point solver changes, so gradients are bit-compatible.
+    hit_f: float mask (1.0 = hit). Misses contribute zero gradient.
     """
 
     @jax.custom_vjp
-    def trace(scene, o, d):
-        scene_s = jax.lax.stop_gradient(scene)
-        o_s = jax.lax.stop_gradient(o)
-        d_s = jax.lax.stop_gradient(d)
-        if forward_impl == "pallas":
-            from src.kernels.pallas_sdf import march_pallas
+    def attach(scene, o, d, t_bar, hit_f):
+        return t_bar
 
-            return march_pallas(scene_s, o_s, d_s, t0=t0, max_steps=max_steps,
-                                eps=eps, t_far=t_far)
-        return march(de_fn, scene_s, o_s, d_s, t0=t0, max_steps=max_steps,
-                     eps=eps, t_far=t_far)
+    def fwd(scene, o, d, t_bar, hit_f):
+        return t_bar, (scene, o, d, t_bar, hit_f)
 
-    def fwd(scene, o, d):
-        t, hit, steps, tmin = trace(scene, o, d)
-        return (t, hit, steps, tmin), (scene, o, d, t, hit)
+    def bwd(res, ct_t):
+        scene, o, d, t_bar, hit_f = res
 
-    def bwd(res, cts):
-        scene, o, d, t, hit = res
-        # cotangents of hit/steps are symbolic zeros; tmin is a sampling
-        # location (the soft-silhouette path re-evaluates DE there itself)
-        ct_t = cts[0]
         # g(scene, o, d) = DE(o + t̄ d; scene) with t̄ held fixed.
-        t_bar = t  # already non-differentiated (residual)
-
         def g(scene_, o_, d_):
             return de_fn(scene_, o_ + t_bar[..., None] * d_)
 
@@ -120,11 +108,47 @@ def make_sphere_tracer(de_fn: Callable, *, max_steps: int, eps: float, t_far: fl
             denom,
         )
         # dt*/d(inputs) = -(dDE/d(inputs)) / (dDE/dt); zero for misses.
-        scale = jnp.where(hit, -ct_t / denom_safe, 0.0).astype(t_bar.dtype)
+        scale = jnp.where(hit_f > 0.5, -ct_t / denom_safe, 0.0).astype(t_bar.dtype)
         _, pullback = jax.vjp(g, scene, o, d)
-        return pullback(scale)
+        gs, go, gd = pullback(scale)
+        return gs, go, gd, jnp.zeros_like(t_bar), jnp.zeros_like(hit_f)
 
-    trace.defvjp(fwd, bwd)
+    attach.defvjp(fwd, bwd)
+    return attach
+
+
+def make_sphere_tracer(de_fn: Callable, *, max_steps: int, eps: float, t_far: float,
+                       t0: float = 0.0, forward_impl: str = "jnp"):
+    """Build a differentiable tracer trace(scene, o, d) -> (t, hit, steps).
+
+    Gradients flow into scene params, o and d via the IFT at the hit point
+    (make_ift_attach); non-hit rays contribute zero gradient. `steps` is
+    diagnostic (int32).
+
+    forward_impl: "jnp" (lockstep batch march) or "pallas" (fused (8,128)
+    ray-tile kernel with per-tile early exit, src/kernels/pallas_sdf.py).
+    The backward pass is the SAME IFT pullback either way — only the forward
+    fixed-point solver changes, so gradients are bit-compatible.
+    """
+    attach = make_ift_attach(de_fn)
+
+    def trace(scene, o, d):
+        scene_s = jax.lax.stop_gradient(scene)
+        o_s = jax.lax.stop_gradient(o)
+        d_s = jax.lax.stop_gradient(d)
+        if forward_impl == "pallas":
+            from src.kernels.pallas_sdf import march_pallas
+
+            t, hit, steps, tmin = march_pallas(
+                scene_s, o_s, d_s, t0=t0, max_steps=max_steps, eps=eps,
+                t_far=t_far)
+        else:
+            t, hit, steps, tmin = march(
+                de_fn, scene_s, o_s, d_s, t0=t0, max_steps=max_steps, eps=eps,
+                t_far=t_far)
+        t = attach(scene, o, d, t, hit.astype(o.dtype))
+        return t, hit, steps, tmin
+
     return trace
 
 

@@ -134,6 +134,7 @@ def mandelbulb_scene(dtype=jnp.float32):
         mb_scale=_f([1.0], dtype),
         mb_power=_f([8.0], dtype),
         mb_mat=_i([0]),
+        mb_pow8=True,  # power is exactly 8 -> trig-free DE fast path
         pln_normal=_f([[0.0, 1.0, 0.0]], dtype),
         pln_offset=_f([0.0], dtype),
         pln_mat=_i([1]),
@@ -150,6 +151,35 @@ def mandelbulb_scene(dtype=jnp.float32):
     return scene, cfg
 
 
+@register("pointlight")
+def pointlight_scene(dtype=jnp.float32):
+    """Point-light demo: sphere + rounded box on a plane lit by one point
+    light with inverse-square falloff and soft shadows. Exercises per-ray
+    shadow directions and distance-clamped shadow marches; the light position
+    is differentiable (examples/inverse_lighting.py)."""
+    sdf = SdfScene.empty(dtype).replace(
+        sph_center=_f([[-0.7, 0.6, 0.0]], dtype),
+        sph_radius=_f([0.6], dtype),
+        sph_mat=_i([0]),
+        box_center=_f([[0.9, 0.45, -0.2]], dtype),
+        box_half=_f([[0.45, 0.45, 0.45]], dtype),
+        box_round=_f([0.08], dtype),
+        box_mat=_i([2]),
+        pln_normal=_f([[0.0, 1.0, 0.0]], dtype),
+        pln_offset=_f([0.0], dtype),
+        pln_mat=_i([1]),
+    )
+    cam = Camera.make((0.0, 1.7, 4.2), (0.0, 0.6, 0.0), vfov_deg=45.0, dtype=dtype)
+    scene = _base(dtype, cam, sdf=sdf,
+                  albedos=[[0.85, 0.4, 0.3], [0.66, 0.68, 0.7], [0.3, 0.55, 0.85]])
+    scene = scene.replace(lights=Lights.make(
+        [[0.5, 0.8, 0.4]], [[0.25, 0.25, 0.25]], ambient=(0.06, 0.06, 0.07),
+        dtype=dtype, positions=[[1.3, 2.6, 1.4]], pos_colors=[[6.0, 5.7, 5.2]]))
+    cfg = RenderConfig(width=512, height=512, spp=1, method="sdf",
+                       shadow="soft", t_far=30.0, diff_vis=False)
+    return scene, cfg
+
+
 @register("mixed")
 def mixed_scene(dtype=jnp.float32):
     """BASELINE config 5: tri-mesh + SDF, 1080p, 16 spp — the headline scene."""
@@ -163,6 +193,7 @@ def mixed_scene(dtype=jnp.float32):
         mb_scale=_f([0.9], dtype),
         mb_power=_f([8.0], dtype),
         mb_mat=_i([2]),
+        mb_pow8=True,  # power is exactly 8 -> trig-free DE fast path
         sph_center=_f([[0.0, 0.55, -1.6]], dtype),
         sph_radius=_f([0.55], dtype),
         sph_mat=_i([3]),

@@ -31,22 +31,39 @@ class Materials:
 
 @struct.dataclass
 class Lights:
-    """Directional lights plus a constant ambient term.
+    """Directional and point lights plus a constant ambient term.
 
     `direction` points FROM the surface TOWARD the light (normalized at use).
+    `position` lights illuminate with inverse-square falloff (`pos_color` is
+    the radiance at unit distance) and cast shadows along per-ray directions
+    clamped at the light distance; their positions are differentiable
+    (inverse lighting, examples/inverse_lighting.py).
     """
 
     direction: jnp.ndarray  # (L, 3)
     color: jnp.ndarray  # (L, 3)
     ambient: jnp.ndarray  # (3,)
+    position: jnp.ndarray  # (P, 3) point-light positions
+    pos_color: jnp.ndarray  # (P, 3) point-light radiance at unit distance
 
     @staticmethod
-    def make(directions, colors, ambient=(0.05, 0.05, 0.05), dtype=jnp.float32):
+    def make(directions, colors, ambient=(0.05, 0.05, 0.05), dtype=jnp.float32,
+             positions=None, pos_colors=None):
+        z3 = jnp.zeros((0, 3), dtype)
         return Lights(
             direction=jnp.asarray(directions, dtype).reshape(-1, 3),
             color=jnp.asarray(colors, dtype).reshape(-1, 3),
             ambient=jnp.asarray(ambient, dtype),
+            position=(z3 if positions is None
+                      else jnp.asarray(positions, dtype).reshape(-1, 3)),
+            pos_color=(z3 if pos_colors is None
+                       else jnp.asarray(pos_colors, dtype).reshape(-1, 3)),
         )
+
+    @property
+    def num_shadowed(self) -> int:
+        """Total lights that cast shadow rays (directional + point)."""
+        return self.direction.shape[0] + self.position.shape[0]
 
 
 @struct.dataclass
@@ -62,8 +79,12 @@ class Scene:
     # `grid`   — uniform grid + DDA (src/accel/grid_build.py), the XLA path;
     # `packet` — Morton-chunked packet accel (src/accel/packet.py), the
     #            Pallas TPU path. Both None until built.
+    # `ring`   — per-device packet-accel shard for ring scene sharding
+    #            (src/dist/scene_shard.RingPacket); set only INSIDE a
+    #            shard_map region by the sharded render/fit entry points.
     grid: Optional[object] = None
     packet: Optional[object] = None
+    ring: Optional[object] = None
 
     def with_grid(self, density: float = 5.0) -> "Scene":
         """Build the mesh acceleration structures (host-side)."""

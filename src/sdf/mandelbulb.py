@@ -23,6 +23,71 @@ _BAILOUT = 4.0
 _RMIN = 1e-6
 
 
+def mandelbulb_de_pow8_components(px, py, pz, iters: int = 12):
+    """Trig-free power-8 Mandelbulb DE on same-shape component arrays.
+
+    For the default integer power 8, z -> z^8 in spherical coordinates needs
+    no transcendentals at all: sin/cos of theta and phi come from Cartesian
+    ratios (one rsqrt-style normalize each) and the *8 angle multiplication is
+    three double-angle steps (s,c) -> (2sc, c^2-s^2); r^8 and r^7 are plain
+    multiplies. This removes the 2x atan2, 3x sin, 2x cos and the pow that the
+    generic formulation burns per iteration (the march was transcendental-
+    bound on TPU — see BASELINE.md round-2 milestones).
+
+    Component-array form (px, py, pz all the same shape) so the SAME function
+    serves both the batched jnp path and the Pallas (8,128) tile kernels —
+    Mosaic-safe: no stack/concat, f32 mask carries, all carries derived from
+    the inputs. Escape/freeze semantics mirror `mandelbulb_de` exactly.
+    """
+    r0 = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, _RMIN * _RMIN))
+    one = px * 0.0 + 1.0  # tiled-layout-safe constant (Mosaic carry rule)
+
+    def body(_, carry):
+        zx, zy, zz, dr, r, live = carry
+        r_new = jnp.sqrt(jnp.maximum(zx * zx + zy * zy + zz * zz, _RMIN * _RMIN))
+        live_b = live > 0.5
+        r = jnp.where(live_b, r_new, r)
+        live = live * (r_new <= _BAILOUT).astype(live.dtype)
+        live_nb = live > 0.5
+        # r_new >= _RMIN by construction and live lanes satisfy r_new <= bailout,
+        # so the clip only rescues DEAD lanes from overflowing r^7 (f32 inf
+        # leaks NaN through jnp.where in backward — same guard as the generic)
+        r_safe = jnp.clip(r_new, _RMIN, _BAILOUT)
+        rho2 = jnp.maximum(zx * zx + zy * zy, _RMIN * _RMIN)
+        rho = jnp.sqrt(rho2)
+        h = jnp.sqrt(rho2 + zz * zz)
+        inv_h = 1.0 / h
+        st, ct = rho * inv_h, zz * inv_h  # theta = atan2(rho, z)
+        inv_rho = 1.0 / rho
+        sp, cp = zy * inv_rho, zx * inv_rho  # phi = atan2(y, x)
+        for _ in range(3):  # angle*8 = three double-angle steps
+            st, ct = 2.0 * st * ct, ct * ct - st * st
+            sp, cp = 2.0 * sp * cp, cp * cp - sp * sp
+        r2s = r_safe * r_safe
+        r4 = r2s * r2s
+        r7 = r4 * r2s * r_safe
+        r8 = r4 * r4
+        dr_new = 8.0 * r7 * dr + 1.0
+        nzx = r8 * st * cp + px
+        nzy = r8 * st * sp + py
+        nzz = r8 * ct + pz
+        zx = jnp.where(live_nb, nzx, zx)
+        zy = jnp.where(live_nb, nzy, zy)
+        zz = jnp.where(live_nb, nzz, zz)
+        dr = jnp.where(live_nb, dr_new, dr)
+        return zx, zy, zz, dr, r, live
+
+    _, _, _, dr, r, _ = jax.lax.fori_loop(
+        0, iters, body, (px, py, pz, one, r0, one))
+    r = jnp.maximum(r, _RMIN)
+    return 0.5 * jnp.log(r) * r / dr
+
+
+def mandelbulb_de_pow8(p: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Batched (..., 3) wrapper over the trig-free power-8 components DE."""
+    return mandelbulb_de_pow8_components(p[..., 0], p[..., 1], p[..., 2], iters)
+
+
 def mandelbulb_de(p: jnp.ndarray, power: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
     """Distance estimate to the Mandelbulb set.
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from src.core.math3d import length
-from src.sdf.mandelbulb import mandelbulb_de
+from src.sdf.mandelbulb import mandelbulb_de, mandelbulb_de_pow8
 
 BIG = 1e10  # sentinel distance for "no primitive"
 
@@ -57,6 +57,11 @@ class SdfScene:
     mb_power: jnp.ndarray  # (Nm,)
     mb_mat: jnp.ndarray  # (Nm,) int32
     mb_iters: int = struct.field(pytree_node=False, default=12)
+    # Static fast path: every bulb's power is exactly 8 -> use the trig-free
+    # polynomial z^8 formulation (mandelbulb_de_pow8). The mb_power array is
+    # then IGNORED by the distance field, so fits that optimize mb_power must
+    # clear this flag first (fit() does so automatically).
+    mb_pow8: bool = struct.field(pytree_node=False, default=False)
 
     @staticmethod
     def empty(dtype=jnp.float32) -> "SdfScene":
@@ -94,7 +99,10 @@ def _box_d(scene: SdfScene, p: jnp.ndarray) -> jnp.ndarray:
 
 def _mandelbulb_d(scene: SdfScene, p: jnp.ndarray) -> jnp.ndarray:
     local = (p[..., None, :] - scene.mb_center) / scene.mb_scale[..., None]
-    d = mandelbulb_de(local, scene.mb_power, iters=scene.mb_iters)
+    if scene.mb_pow8:
+        d = mandelbulb_de_pow8(local, iters=scene.mb_iters)
+    else:
+        d = mandelbulb_de(local, scene.mb_power, iters=scene.mb_iters)
     return d * scene.mb_scale
 
 

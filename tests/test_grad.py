@@ -98,6 +98,42 @@ def test_grad_vertex_positions_mesh():
     check_grad(loss, v0, eps=1e-5, rtol=5e-3, atol=1e-7)
 
 
+def test_grad_vertices_bunny_config3_fd():
+    """BASELINE config 3 contract: vertex-position gradcheck on the ~70k-tri
+    bunny THROUGH the uniform-grid path. Full elementwise FD over 70k verts is
+    infeasible, so this checks the directional derivative <grad, V> for a
+    random direction V supported on a handful of visibly-hit body vertices —
+    exactly what the VJP must contract against."""
+    from src.kernels.dda import intersect_grid
+    from src.render.camera import generate_rays
+    from src.render.render import pixel_sample_coords
+
+    scene, cfg = build_scene("bunny", dtype=jnp.float64)
+    cfg = cfg.replace(width=20, height=20, shadow="none", block_size=0,
+                      method="mesh_grid")
+    loss_of_img = _masked_loss_builder(scene, cfg)
+
+    sx, sy = pixel_sample_coords(cfg, jnp.float64)
+    o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(), cfg.width, cfg.height)
+    res = intersect_grid(scene.mesh, scene.grid, o, d, t_max=cfg.t_far)
+    tris_hit = np.unique(np.asarray(res.tri)[np.asarray(res.hit)])
+    # bunny-body triangles only (the ground quad is the last 2 tris)
+    body = tris_hit[tris_hit < scene.mesh.tris.shape[0] - 2][:4]
+    assert body.size > 0
+    vidx = np.unique(np.asarray(scene.mesh.tris)[body].ravel())[:6]
+    rng = np.random.default_rng(0)
+    V = np.zeros(scene.mesh.verts.shape)
+    V[vidx] = rng.normal(size=(len(vidx), 3))
+    V = jnp.asarray(V)
+    v0 = scene.mesh.verts
+
+    def loss(alpha):
+        s = scene.replace(mesh=scene.mesh.replace(verts=v0 + alpha * V))
+        return loss_of_img(render_image(s, cfg))
+
+    check_grad(loss, jnp.zeros(()), eps=2e-6, rtol=5e-3, atol=1e-9)
+
+
 def test_grad_mandelbulb_power_vs_true_root():
     """IFT gradient of the hit distance vs finite differences of the TRUE
     level-set root (bisection on the DE along the ray).
@@ -112,7 +148,9 @@ def test_grad_mandelbulb_power_vs_true_root():
     from src.sdf.primitives import sdf_distance
 
     scene, _ = build_scene("mandelbulb", dtype=jnp.float64)
-    sdf0 = scene.sdf.replace(mb_iters=6)
+    # mb_pow8=False: the trig-free fast path ignores mb_power, which this
+    # test differentiates (fit() clears the flag the same way)
+    sdf0 = scene.sdf.replace(mb_iters=6, mb_pow8=False)
     o1 = np.array([0.0, 1.1, 3.0])
     d1 = np.array([0.1, 1.2, 0.0]) - o1
     d1 /= np.linalg.norm(d1)
@@ -156,7 +194,7 @@ def test_grad_mandelbulb_render_finite():
                       block_size=0)
 
     def loss(power):
-        s = scene.replace(sdf=scene.sdf.replace(mb_power=power))
+        s = scene.replace(sdf=scene.sdf.replace(mb_power=power, mb_pow8=False))
         return jnp.mean(render_image(s, cfg) ** 2)
 
     g = jax.grad(loss)(jnp.asarray([8.0]))

@@ -81,13 +81,21 @@ def test_shadow_pallas_matches_jnp():
             want = shading.sdf_soft_shadow(sdf_distance, scene.sdf, p, l, cfg)
         else:
             want = shading.sdf_hard_shadow(sdf_distance, scene.sdf, p, l, cfg)
-        got = shadow_pallas(scene.sdf, p, l, soft=soft, eps=cfg.eps,
-                            t_far=cfg.t_far, steps=cfg.shadow_steps,
-                            bias=cfg.shadow_bias, soft_k=cfg.soft_k,
-                            interpret=True)
+        got, got_ts = shadow_pallas(scene.sdf, p, l, soft=soft, eps=cfg.eps,
+                                    t_far=cfg.t_far, steps=cfg.shadow_steps,
+                                    bias=cfg.shadow_bias, soft_k=cfg.soft_k,
+                                    interpret=True)
         err = np.abs(np.asarray(got) - np.asarray(want))
         # polynomial atan2 in the fractal DE shifts soft-shadow factors a bit
         assert np.quantile(err, 0.95) < 2e-3 and err.max() < 0.2
+        if soft:
+            # the argmin residual must reproduce the penumbra min exactly
+            want_s, want_ts = shading.sdf_soft_shadow_argmin(
+                sdf_distance, scene.sdf, p, l, cfg)
+            np.testing.assert_allclose(np.asarray(want_s), np.asarray(want),
+                                       rtol=1e-6, atol=1e-6)
+            terr = np.abs(np.asarray(got_ts) - np.asarray(want_ts))
+            assert np.quantile(terr, 0.95) < 1e-2
 
 
 def test_tracer_gradients_pallas_forward_equals_jnp_forward():

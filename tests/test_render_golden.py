@@ -94,10 +94,25 @@ def test_soft_silhouette_golden():
     np.testing.assert_allclose(img, ref_img, atol=5e-6)
 
 
-def test_ref_rejects_jitter():
+def test_jittered_aa_golden():
+    """Seeded-jitter AA vs the CPU reference: the oracle reproduces the exact
+    jax.random sample sequence (ref/cpu_renderer.jitter_offsets), so the
+    jittered path gets a real correctness gate, not just determinism."""
     scene, cfg = build_scene("sphere", dtype=jnp.float64)
-    with pytest.raises(NotImplementedError):
-        cpu_renderer.render_image(scene, cfg.replace(jitter_seed=3))
+    cfg = cfg.replace(width=20, height=20, spp=4, jitter_seed=3)
+    img = np.asarray(render_image(scene, cfg))
+    ref_img = cpu_renderer.render_image(scene, cfg)
+    np.testing.assert_allclose(img, ref_img, atol=5e-6)
+
+
+def test_jitter_determinism_and_seed_sensitivity():
+    scene, cfg = build_scene("sphere", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16, spp=4)
+    a = np.asarray(render_image(scene, cfg.replace(jitter_seed=7)))
+    b = np.asarray(render_image(scene, cfg.replace(jitter_seed=7)))
+    c = np.asarray(render_image(scene, cfg.replace(jitter_seed=8)))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0.0
 
 
 def test_mixed_scene_golden_small():

@@ -161,3 +161,45 @@ def test_sharded_render_blocked_matches_unblocked(mesh8):
     b = np.asarray(jax.jit(lambda s: render_image_sharded(
         s, cfg.replace(width=32, height=16, block_size=128), mesh8))(scene))
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_ring_packet_render_matches_replicated(mesh8):
+    """VERDICT r1 item 3: a full frame rendered with the scene partitioned
+    8-way around the ring (packet kernel + ppermute + running-t fold) must
+    match the replicated-scene render."""
+    scene, cfg = build_scene("triangles", dtype=jnp.float32)
+    scene = scene.with_grid()
+    cfg = cfg.replace(width=32, height=16, block_size=0, pallas="on",
+                      method="mesh_grid")
+    replicated = np.asarray(jax.jit(
+        lambda s: render_image_sharded(s, cfg, mesh8))(scene))
+    # the ring accel builds host-side from concrete verts -> close over scene
+    ringed = np.asarray(render_image_sharded(scene, cfg, mesh8,
+                                             scene_shards=True))
+    np.testing.assert_allclose(ringed, replicated, atol=2e-6)
+
+
+def test_ring_packet_mixed_scene_and_fit_step(mesh8):
+    """Ring scene-shard inside the differentiable fit step: loss and vertex
+    gradients must match the replicated sharded step exactly (the ring only
+    replaces the geometry pass; the diff recompute reads the raw mesh)."""
+    import optax as _optax
+
+    scene, cfg = build_scene("triangles", dtype=jnp.float64)
+    scene = scene.with_grid()
+    cfg = cfg.replace(width=16, height=16, block_size=0, pallas="on",
+                      method="mesh_grid")
+    target = render_image(scene, cfg) + 0.05
+    trainable = ("mesh.verts", "camera.origin")
+    params = extract_params(scene, trainable)
+    opt = _optax.sgd(1e-3)
+    st = opt.init(params)
+    rep = make_sharded_fit_step(scene, cfg, target, opt, mesh8)
+    ring = make_sharded_fit_step(scene, cfg, target, opt, mesh8,
+                                 scene_shards=True)
+    p_rep, _, loss_rep = rep(params, st)
+    p_ring, _, loss_ring = ring(params, st)
+    np.testing.assert_allclose(float(loss_ring), float(loss_rep), rtol=1e-12)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p_ring[k]), np.asarray(p_rep[k]),
+                                   atol=1e-12)
