@@ -14,7 +14,7 @@ import sys
 
 def main():
     scene = sys.argv[1] if len(sys.argv) > 1 else "mixed"
-    from src import bench_lib
+    from tpu_ray import bench_lib
 
     result = bench_lib.run_bench(scene)
     print(f"[bench] {result}", file=sys.stderr)

@@ -25,11 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 
-from src.fit import apply_params, fit
-from src.render.render import render_image_jit
-from src.scene.scenes import build_scene
-from src.utils.config import FitConfig
-from src.utils.image_io import write_png
+from tpu_ray.fit import apply_params, fit
+from tpu_ray.render.render import render_image_jit
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.utils.config import FitConfig
+from tpu_ray.utils.image_io import write_png
 
 
 def main(outdir: str = "."):

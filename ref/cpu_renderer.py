@@ -31,7 +31,7 @@ _MB_RMIN = 1e-6
 # ---------------------------------------------------------------------------
 
 def to_numpy_scene(scene):
-    """Convert a src.scene.types.Scene pytree to numpy float64 leaves."""
+    """Convert a tpu_ray.scene.types.Scene pytree to numpy float64 leaves."""
     import jax
 
     def cast(x):
@@ -44,7 +44,7 @@ def to_numpy_scene(scene):
 
 
 # ---------------------------------------------------------------------------
-# SDF distance field (mirrors src/sdf/primitives.py)
+# SDF distance field (mirrors tpu_ray/sdf/primitives.py)
 # ---------------------------------------------------------------------------
 
 def mandelbulb_de(p, power, iters):
@@ -70,7 +70,7 @@ def mandelbulb_de(p, power, iters):
 
 
 def mandelbulb_de_pow8(p, iters):
-    """Scalar mirror of src/sdf/mandelbulb.mandelbulb_de_pow8: trig-free
+    """Scalar mirror of tpu_ray/sdf/mandelbulb.mandelbulb_de_pow8: trig-free
     power-8 iteration (angle-doubling identities; r^8 by plain multiplies)."""
     z = p.copy()
     dr = 1.0
@@ -134,7 +134,7 @@ def sdf_normal(sdf, p, h=1e-6):
 
 
 def sphere_trace(sdf, o, d, max_steps, eps, t_far):
-    """Same step rule as src/kernels/sphere_trace.march, scalar.
+    """Same step rule as tpu_ray/kernels/sphere_trace.march, scalar.
 
     Returns (t, hit, t_min): t_min is the ray parameter of the smallest DE
     seen — the closest-approach point used for soft silhouettes.
@@ -154,7 +154,7 @@ def sphere_trace(sdf, o, d, max_steps, eps, t_far):
 
 
 # ---------------------------------------------------------------------------
-# Triangles (mirrors src/kernels/moller_trumbore.py; vectorized over tris)
+# Triangles (mirrors tpu_ray/kernels/moller_trumbore.py; vectorized over tris)
 # ---------------------------------------------------------------------------
 
 def mesh_corners(mesh):
@@ -197,7 +197,7 @@ def mesh_normal(mesh, tri_idx):
 
 
 # ---------------------------------------------------------------------------
-# Shading (mirrors src/render/shading.py)
+# Shading (mirrors tpu_ray/render/shading.py)
 # ---------------------------------------------------------------------------
 
 def hard_shadow_sdf(sdf, p, l_dir, cfg, t_far=None):
@@ -242,7 +242,7 @@ def background(scene, d):
 
 
 # ---------------------------------------------------------------------------
-# Full per-pixel render (mirrors src/render/render.py)
+# Full per-pixel render (mirrors tpu_ray/render/render.py)
 # ---------------------------------------------------------------------------
 
 def _camera_basis(cam):
@@ -293,7 +293,7 @@ def render_ray(scene, cfg, o, d, method=None, corners=None):
         t_s, hit_s, tmin_s = sphere_trace(
             scene.sdf, o, d, cfg.max_steps, cfg.eps, cfg.t_far)
         if cfg.soft_silhouette > 0.0:
-            # mirrors src/render/render.py _trace_sdf: sigmoid coverage of the
+            # mirrors tpu_ray/render/render.py _trace_sdf: sigmoid coverage of the
             # scene distance at the closest-approach point
             d_min = sdf_distance(scene.sdf, o + tmin_s * d)
             cov_s = 1.0 if hit_s else 1.0 / (1.0 + math.exp(
@@ -405,7 +405,7 @@ def sample_offsets(cfg):
 
 def jitter_offsets(cfg, dtype):
     """(H, W, spp, 2) seeded jitter offsets in pixel units, bit-identical to
-    src/render/render.pixel_sample_coords: the jax.random.uniform draw is the
+    tpu_ray/render/render.pixel_sample_coords: the jax.random.uniform draw is the
     *specification* of the sample sequence (threefry bits), so the oracle
     reproduces it via jax.random on the host and then stays scalar numpy."""
     import jax

@@ -6,11 +6,11 @@ import jax.numpy as jnp
 import optax
 import pytest
 
-from src.fit import extract_params, fit
-from src.render.render import render_image
-from src.scene.scenes import build_scene
-from src.utils import checkpoint as ckpt_lib
-from src.utils.config import FitConfig
+from tpu_ray.fit import extract_params, fit
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.utils import checkpoint as ckpt_lib
+from tpu_ray.utils.config import FitConfig
 
 
 def test_orbax_roundtrip(tmp_path):

@@ -6,7 +6,7 @@ import os
 import numpy as np
 import pytest
 
-from src import cli
+from tpu_ray import cli
 
 
 def test_cli_scenes(capsys):
@@ -51,11 +51,13 @@ def test_cli_bench_json(capsys):
 def test_inverse_rendering_example_converges(tmp_path):
     """The repo example must actually recover the scene (small budget)."""
     import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "inverse_rendering", "examples/inverse_rendering.py")
+        "inverse_rendering", os.path.join(repo, "examples/inverse_rendering.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    import src.utils.config as cfgmod  # noqa: F401
+    import tpu_ray.utils.config as cfgmod  # noqa: F401
     # shrink the budget for CI speed by monkeypatching FitConfig default use
     fitted, hist = mod.main(str(tmp_path))
     assert hist[-1] < hist[0] * 0.25

@@ -9,9 +9,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from src.render.render import render_image
-from src.scene.scenes import build_scene
-from src.utils.gradcheck import check_grad, interior_mask
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.utils.gradcheck import check_grad, interior_mask
 
 
 def _masked_loss_builder(scene, cfg, target_shift=0.1):
@@ -21,9 +21,9 @@ def _masked_loss_builder(scene, cfg, target_shift=0.1):
     from ref.cpu_renderer import to_numpy_scene  # noqa: F401  (doc: mask from render)
     # approximate hit mask: where image != background gradient; robust enough
     # for these scenes because shading never exactly equals the sky color.
-    from src.render.render import pixel_sample_coords
-    from src.render.camera import generate_rays
-    from src.scene.types import background_color
+    from tpu_ray.render.render import pixel_sample_coords
+    from tpu_ray.render.camera import generate_rays
+    from tpu_ray.scene.types import background_color
     sx, sy = pixel_sample_coords(cfg, base.dtype)
     o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(), cfg.width, cfg.height)
     bg = background_color(scene, d).reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2)
@@ -104,9 +104,9 @@ def test_grad_vertices_bunny_config3_fd():
     infeasible, so this checks the directional derivative <grad, V> for a
     random direction V supported on a handful of visibly-hit body vertices —
     exactly what the VJP must contract against."""
-    from src.kernels.dda import intersect_grid
-    from src.render.camera import generate_rays
-    from src.render.render import pixel_sample_coords
+    from tpu_ray.kernels.dda import intersect_grid
+    from tpu_ray.render.camera import generate_rays
+    from tpu_ray.render.render import pixel_sample_coords
 
     scene, cfg = build_scene("bunny", dtype=jnp.float64)
     cfg = cfg.replace(width=20, height=20, shadow="none", block_size=0,
@@ -144,8 +144,8 @@ def test_grad_mandelbulb_power_vs_true_root():
     (documented limitation, SURVEY.md §7 hard parts 3/6). At mb_iters=6 the
     surface is smooth enough for FD of the bisection root to converge.
     """
-    from src.kernels.sphere_trace import make_sphere_tracer
-    from src.sdf.primitives import sdf_distance
+    from tpu_ray.kernels.sphere_trace import make_sphere_tracer
+    from tpu_ray.sdf.primitives import sdf_distance
 
     scene, _ = build_scene("mandelbulb", dtype=jnp.float64)
     # mb_pow8=False: the trig-free fast path ignores mb_power, which this

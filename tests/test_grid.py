@@ -4,11 +4,11 @@ correctness oracle (grid hit == brute-force hit; SURVEY.md §4.2)."""
 import numpy as np
 import jax.numpy as jnp
 
-from src.accel.grid_build import build_grid, grid_stats
-from src.kernels import moller_trumbore as mt
-from src.kernels.dda import any_hit_grid, intersect_grid
-from src.scene.mesh import MeshScene, torus_knot
-from src.scene.scenes import build_scene
+from tpu_ray.accel.grid_build import build_grid, grid_stats
+from tpu_ray.kernels import moller_trumbore as mt
+from tpu_ray.kernels.dda import any_hit_grid, intersect_grid
+from tpu_ray.scene.mesh import MeshScene, torus_knot
+from tpu_ray.scene.scenes import build_scene
 
 
 def _soup(n_tris=200, seed=7, dtype=jnp.float64):
@@ -90,7 +90,7 @@ def test_rays_inside_grid_and_axis_parallel():
 
 def test_bunny_render_grid_matches_brute_render():
     # full-pipeline oracle at render level (BASELINE config 3, small frame)
-    from src.render.render import render_image
+    from tpu_ray.render.render import render_image
 
     scene, cfg = build_scene("bunny", dtype=jnp.float64)
     cfg = cfg.replace(width=28, height=28, block_size=0)
@@ -100,7 +100,7 @@ def test_bunny_render_grid_matches_brute_render():
 
 
 def test_determinism_same_render_twice():
-    from src.render.render import render_image
+    from tpu_ray.render.render import render_image
 
     scene, cfg = build_scene("bunny", dtype=jnp.float32)
     cfg = cfg.replace(width=24, height=24, block_size=0)
@@ -113,7 +113,7 @@ def test_vertex_gradients_grid_equals_brute():
     """Gradients flow through the same differentiable hit recompute for both
     paths, so d(loss)/d(verts) must agree between mesh_grid and mesh_brute."""
     import jax
-    from src.render.render import render_image
+    from tpu_ray.render.render import render_image
 
     scene, cfg = build_scene("bunny", dtype=jnp.float64)
     cfg = cfg.replace(width=16, height=16, shadow="none", block_size=0)

@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from src.scene.mesh import load_obj, load_ply
+from tpu_ray.scene.mesh import load_obj, load_ply
 
 
 def test_obj_loader_roundtrip(tmp_path):
@@ -55,8 +55,8 @@ def test_ply_binary_loader(tmp_path):
 
 
 def test_jittered_sampling_deterministic_and_stratified():
-    from src.render.render import pixel_sample_coords
-    from src.scene.scenes import build_scene
+    from tpu_ray.render.render import pixel_sample_coords
+    from tpu_ray.scene.scenes import build_scene
 
     _, cfg = build_scene("sphere")
     cfg = cfg.replace(width=8, height=8, spp=4, jitter_seed=7)
@@ -73,7 +73,7 @@ def test_jittered_sampling_deterministic_and_stratified():
 
 def test_checked_raises_on_nan():
     import jax
-    from src.utils.debug import checked
+    from tpu_ray.utils.debug import checked
 
     f = checked(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x))
     f(jnp.asarray([1.0, 2.0]))  # fine
@@ -82,7 +82,7 @@ def test_checked_raises_on_nan():
 
 
 def test_assert_finite():
-    from src.utils.debug import assert_finite
+    from tpu_ray.utils.debug import assert_finite
 
     assert_finite({"a": jnp.ones(3)})
     with pytest.raises(AssertionError):

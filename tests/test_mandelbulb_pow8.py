@@ -1,4 +1,4 @@
-"""Trig-free power-8 Mandelbulb DE (src/sdf/mandelbulb.mandelbulb_de_pow8):
+"""Trig-free power-8 Mandelbulb DE (tpu_ray/sdf/mandelbulb.mandelbulb_de_pow8):
 must agree with the generic spherical-coordinate formulation at power=8.0 in
 values and gradients, through the march, and through the full render."""
 
@@ -6,10 +6,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from src.render.render import render_image
-from src.scene.scenes import build_scene
-from src.sdf.mandelbulb import mandelbulb_de, mandelbulb_de_pow8
-from src.sdf.primitives import sdf_distance
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.sdf.mandelbulb import mandelbulb_de, mandelbulb_de_pow8
+from tpu_ray.sdf.primitives import sdf_distance
 
 
 def _points(n=8192, seed=0, dtype=jnp.float64):

@@ -1,8 +1,8 @@
 import numpy as np
 import jax.numpy as jnp
 
-from src.core import math3d
-from src.core.aabb import ray_aabb, safe_inv_dir
+from tpu_ray.core import math3d
+from tpu_ray.core.aabb import ray_aabb, safe_inv_dir
 
 
 def test_dot_cross_normalize_match_numpy():

@@ -4,9 +4,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ref import cpu_renderer
-from src.kernels import moller_trumbore as mt
-from src.render.render import render_image
-from src.scene.scenes import build_scene
+from tpu_ray.kernels import moller_trumbore as mt
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
 
 
 def _random_rays(n, seed=0):

@@ -7,12 +7,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from src.kernels.pallas_sdf import de_tile, march_pallas, shadow_pallas
-from src.kernels.sphere_trace import make_sphere_tracer, march
-from src.render import shading
-from src.render.render import render_image
-from src.scene.scenes import build_scene
-from src.sdf.primitives import sdf_distance
+from tpu_ray.kernels.pallas_sdf import de_tile, march_pallas, shadow_pallas
+from tpu_ray.kernels.sphere_trace import make_sphere_tracer, march
+from tpu_ray.render import shading
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.sdf.primitives import sdf_distance
 
 
 def _rays(n=300, seed=0, dtype=jnp.float32):
@@ -130,10 +130,10 @@ def test_render_pallas_on_matches_off():
 def test_packet_accel_matches_brute():
     """Packet-brute kernel (interpret mode) vs brute-force MT: the classic
     accelerator oracle, for the TPU-native chunk-culled structure."""
-    from src.accel.packet import build_packet_accel
-    from src.kernels.pallas_mt import any_hit_packet, intersect_packet
-    from src.kernels import moller_trumbore as mt
-    from src.scene.mesh import MeshScene, torus_knot
+    from tpu_ray.accel.packet import build_packet_accel
+    from tpu_ray.kernels.pallas_mt import any_hit_packet, intersect_packet
+    from tpu_ray.kernels import moller_trumbore as mt
+    from tpu_ray.scene.mesh import MeshScene, torus_knot
 
     v, f = torus_knot(2, 3, 24, 24)
     mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
@@ -166,10 +166,10 @@ def test_bunny_render_packet_matches_grid():
 def test_packet_parts_split_matches_brute():
     """Meshes over the VMEM budget split into parts; the merged result must
     equal brute force (tested with an artificially tiny budget)."""
-    from src.accel.packet import build_packet_parts, packet_accel_bytes
-    from src.kernels.pallas_mt import intersect_packet_parts
-    from src.kernels import moller_trumbore as mt
-    from src.scene.mesh import MeshScene, torus_knot
+    from tpu_ray.accel.packet import build_packet_parts, packet_accel_bytes
+    from tpu_ray.kernels.pallas_mt import intersect_packet_parts
+    from tpu_ray.kernels import moller_trumbore as mt
+    from tpu_ray.scene.mesh import MeshScene, torus_knot
 
     v, f = torus_knot(2, 3, 48, 48)  # 4608 tris = 2.25 supers
     mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
@@ -191,3 +191,15 @@ def test_packet_parts_split_matches_brute():
                                 interpret=True).hit
     bh = mt.any_hit_brute(mesh, o, d, t_max=4.0)
     np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
+
+
+def test_render_mixed_pallas_on_matches_off():
+    """Mixed scene with the packet kernel + SDF-hit t_init seeding (cross-
+    method cull) vs the pure-XLA path: same image."""
+    scene, cfg = build_scene("mixed", dtype=jnp.float32)
+    cfg = cfg.replace(width=24, height=24, spp=1, block_size=0, max_steps=64)
+    a = np.asarray(render_image(scene, cfg.replace(pallas="off")))
+    b = np.asarray(render_image(scene, cfg.replace(pallas="on")))
+    err = np.abs(a - b).max(-1)
+    # fractal march rounding (see mandelbulb variant above) + f32 packet t
+    assert np.quantile(err, 0.95) < 5e-3 and err.max() < 1.0

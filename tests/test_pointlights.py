@@ -7,10 +7,10 @@ import jax
 import jax.numpy as jnp
 
 from ref import cpu_renderer
-from src.render.render import render_image
-from src.scene.scenes import build_scene
-from src.scene.types import Lights
-from src.utils.gradcheck import check_grad
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.scene.types import Lights
+from tpu_ray.utils.gradcheck import check_grad
 
 
 def _pl_scene(dtype=jnp.float64):

@@ -1,0 +1,106 @@
+"""Accel-aware vertex fitting (VERDICT r1 item 5): the packet accel can be
+refit to moved vertices inside the jitted step (pure jnp), keeping the Pallas
+path exact during mesh.verts optimization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_ray.accel.packet import build_packet_accel, refit_packet_accel
+from tpu_ray.fit import extract_params, make_fit_step
+from tpu_ray.kernels import moller_trumbore as mt
+from tpu_ray.kernels.pallas_mt import intersect_packet
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.mesh import MeshScene, torus_knot
+from tpu_ray.scene.scenes import build_scene
+
+
+def _moved_mesh(seed=0, scale=0.15):
+    v, f = torus_knot(2, 3, 20, 20)
+    rng = np.random.default_rng(seed)
+    v2 = v + rng.normal(size=v.shape) * scale  # well past any AABB slack
+    return v, v2, f
+
+
+def test_refit_matches_brute_on_moved_verts():
+    v, v2, f = _moved_mesh()
+    accel = build_packet_accel(v, f)  # built from ORIGINAL verts
+    mesh2 = MeshScene.from_numpy(v2, f, dtype=jnp.float32)
+    refit = refit_packet_accel(accel, mesh2.verts, mesh2.tris)
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-3, 3, (400, 3)), jnp.float32)
+    dd = rng.normal(size=(400, 3))
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    got = intersect_packet(refit, o, d, interpret=True)
+    want = mt.intersect_brute(mesh2, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.tri)[h], np.asarray(want.tri)[h])
+
+
+def test_refit_identity_at_build_verts():
+    v, _, f = _moved_mesh()
+    accel = build_packet_accel(v, f)
+    mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
+    refit = refit_packet_accel(accel, mesh.verts, mesh.tris)
+    np.testing.assert_allclose(np.asarray(refit.corners),
+                               np.asarray(accel.corners), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(refit.chunk_aabb),
+                               np.asarray(accel.chunk_aabb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(refit.super_aabb),
+                               np.asarray(accel.super_aabb), atol=1e-6)
+
+
+def test_vertex_fit_step_refit_matches_brute_gradients():
+    """One fit step over mesh.verts with the refit packet path must produce
+    the same loss and updated verts as the brute-force path (f64)."""
+    scene, cfg = build_scene("triangles", dtype=jnp.float64)
+    scene = scene.with_grid()
+    cfg = cfg.replace(width=20, height=20, block_size=0, method="mesh_grid",
+                      pallas="on")
+    target = render_image(scene, cfg) + 0.05
+    params = extract_params(scene, ["mesh.verts"])
+    opt = optax.adam(1e-3)
+    st = opt.init(params)
+
+    brute_scene = scene.replace(grid=None, packet=None)
+    brute_cfg = cfg.replace(method="mesh_brute", pallas="off")
+    p_b, _, l_b = make_fit_step(brute_scene, brute_cfg, target, opt)(params, st)
+
+    refit_scene = scene.replace(grid=None)
+    p_r, _, l_r = make_fit_step(refit_scene, cfg, target, opt,
+                                refit_accel=True)(params, st)
+    np.testing.assert_allclose(float(l_r), float(l_b), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p_r["mesh.verts"]),
+                               np.asarray(p_b["mesh.verts"]), atol=1e-10)
+
+
+def test_vertex_fit_loop_converges_with_refit():
+    """Short vertex fit with the refit accel active: loss must drop and the
+    accel must keep matching the moving geometry (no silent misses).
+
+    The perturbation tilts the ground quad (its 4 verts): a tilted floor
+    changes the N.L shading of every interior floor pixel, so gradients are
+    strong (random noise on all verts is silhouette-dominated and nearly
+    gradient-free — the documented limitation, SURVEY.md §7 hard part 3)."""
+    scene, cfg = build_scene("triangles", dtype=jnp.float32)
+    scene = scene.with_grid().replace(grid=None)
+    cfg = cfg.replace(width=24, height=24, block_size=0, method="mesh_grid",
+                      pallas="on", shadow="none")
+    v_true = np.asarray(scene.mesh.verts)
+    v0 = v_true.copy()
+    v0[-4:, 1] += np.array([0.35, 0.1, -0.2, 0.25])  # tilt the ground quad
+    target = render_image(scene, cfg)
+    start = scene.replace(mesh=scene.mesh.replace(verts=jnp.asarray(v0, jnp.float32)))
+    params = extract_params(start, ["mesh.verts"])
+    opt = optax.adam(2e-2)
+    st = opt.init(params)
+    step = make_fit_step(start, cfg, target, opt, refit_accel=True)
+    losses = []
+    for _ in range(40):
+        params, st, loss = step(params, st)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5

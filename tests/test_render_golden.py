@@ -9,8 +9,8 @@ import jax.numpy as jnp
 import pytest
 
 from ref import cpu_renderer
-from src.render.render import render_image, render_image_jit
-from src.scene.scenes import build_scene
+from tpu_ray.render.render import render_image, render_image_jit
+from tpu_ray.scene.scenes import build_scene
 
 
 def _compare(name, size, dtype, atol, spp=None, **cfg_kw):

@@ -13,12 +13,12 @@ import pytest
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from src.dist.scene_shard import intersect_ring, partition_mesh
-from src.dist.sharding import RAY_AXIS, make_mesh, render_image_sharded
-from src.fit import extract_params, make_fit_step, make_sharded_fit_step
-from src.kernels import moller_trumbore as mt
-from src.render.render import render_image
-from src.scene.scenes import build_scene
+from tpu_ray.dist.scene_shard import intersect_ring, partition_mesh
+from tpu_ray.dist.sharding import RAY_AXIS, make_mesh, render_image_sharded
+from tpu_ray.fit import extract_params, make_fit_step, make_sharded_fit_step
+from tpu_ray.kernels import moller_trumbore as mt
+from tpu_ray.render.render import render_image
+from tpu_ray.scene.scenes import build_scene
 
 
 @pytest.fixture(scope="module")
@@ -101,7 +101,7 @@ def test_ring_scene_shard_matches_brute(mesh8):
     e1 = rng.normal(size=(n_tris, 3)) * 0.4
     verts = np.stack([c - e0, c + e1, c + e0 - e1], 1).reshape(-1, 3)
     faces = np.arange(3 * n_tris).reshape(-1, 3)
-    from src.scene.mesh import MeshScene
+    from tpu_ray.scene.mesh import MeshScene
 
     mesh_scene = MeshScene.from_numpy(verts, faces, dtype=jnp.float64)
     R = 8 * 16
@@ -165,16 +165,18 @@ def test_sharded_render_blocked_matches_unblocked(mesh8):
 
 def test_ring_packet_render_matches_replicated(mesh8):
     """VERDICT r1 item 3: a full frame rendered with the scene partitioned
-    8-way around the ring (packet kernel + ppermute + running-t fold) must
-    match the replicated-scene render."""
+    around the ring (packet kernel + ppermute + running-t fold) must match
+    the replicated-scene render. 4 devices: interpret-mode tracing of the
+    unrolled packet kernel per ring step dominates CI time."""
+    mesh4 = make_mesh(jax.devices()[:4])
     scene, cfg = build_scene("triangles", dtype=jnp.float32)
     scene = scene.with_grid()
-    cfg = cfg.replace(width=32, height=16, block_size=0, pallas="on",
+    cfg = cfg.replace(width=16, height=8, block_size=0, pallas="on",
                       method="mesh_grid")
     replicated = np.asarray(jax.jit(
-        lambda s: render_image_sharded(s, cfg, mesh8))(scene))
+        lambda s: render_image_sharded(s, cfg, mesh4))(scene))
     # the ring accel builds host-side from concrete verts -> close over scene
-    ringed = np.asarray(render_image_sharded(scene, cfg, mesh8,
+    ringed = np.asarray(render_image_sharded(scene, cfg, mesh4,
                                              scene_shards=True))
     np.testing.assert_allclose(ringed, replicated, atol=2e-6)
 
@@ -185,17 +187,18 @@ def test_ring_packet_mixed_scene_and_fit_step(mesh8):
     replaces the geometry pass; the diff recompute reads the raw mesh)."""
     import optax as _optax
 
+    mesh4 = make_mesh(jax.devices()[:4])
     scene, cfg = build_scene("triangles", dtype=jnp.float64)
     scene = scene.with_grid()
-    cfg = cfg.replace(width=16, height=16, block_size=0, pallas="on",
+    cfg = cfg.replace(width=12, height=12, block_size=0, pallas="on",
                       method="mesh_grid")
     target = render_image(scene, cfg) + 0.05
     trainable = ("mesh.verts", "camera.origin")
     params = extract_params(scene, trainable)
     opt = _optax.sgd(1e-3)
     st = opt.init(params)
-    rep = make_sharded_fit_step(scene, cfg, target, opt, mesh8)
-    ring = make_sharded_fit_step(scene, cfg, target, opt, mesh8,
+    rep = make_sharded_fit_step(scene, cfg, target, opt, mesh4)
+    ring = make_sharded_fit_step(scene, cfg, target, opt, mesh4,
                                  scene_shards=True)
     p_rep, _, loss_rep = rep(params, st)
     p_ring, _, loss_ring = ring(params, st)

@@ -2,9 +2,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from src.kernels.sphere_trace import make_sphere_tracer, march, surface_normal
-from src.scene.scenes import build_scene
-from src.sdf.primitives import sdf_distance
+from tpu_ray.kernels.sphere_trace import make_sphere_tracer, march, surface_normal
+from tpu_ray.scene.scenes import build_scene
+from tpu_ray.sdf.primitives import sdf_distance
 
 
 def _rays(n=64, seed=0, dtype=jnp.float64):

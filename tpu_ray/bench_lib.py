@@ -1,0 +1,109 @@
+"""Benchmark harness: Mrays/sec/chip, forward and forward+backward.
+
+The metric defined by BASELINE.json:2 ("Mrays/sec/chip (fwd and fwd+bwd) at
+1080p; N-host scaling efficiency"). `run_bench` measures one scene config on
+the current default backend (the real TPU chip under the driver; CPU when
+forced) and returns the driver's JSON contract:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline compares against the newest BENCH_r*.json recorded in the repo
+root (the previous round's own measurement — the C++ reference publishes no
+numbers, BASELINE.json:13 `published: {}`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ray.utils.metrics import block_and_time, mrays_per_sec, rays_per_frame
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prior_value(metric: str):
+    """Newest BENCH_r{N}.json value for the same metric, if any."""
+    best = None
+    for path in glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            data = json.loads(open(path).read().strip().splitlines()[-1])
+        except Exception:
+            continue
+        if data.get("metric") == metric and "value" in data:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, float(data["value"]))
+    return None if best is None else best[1]
+
+
+def run_bench(scene_name: str = "mixed", backward: bool = True,
+              warmup: int = 1, iters: int = 2) -> dict:
+    from tpu_ray.fit import extract_params, apply_params
+    from tpu_ray.render.render import render_image
+    from tpu_ray.scene.scenes import build_scene
+
+    scene, cfg = build_scene(scene_name)
+    n_chips = 1  # the jitted render runs on the default device only
+
+    fwd = jax.jit(lambda s: render_image(s, cfg))
+    _, fwd_s = block_and_time(fwd, scene, warmup=warmup, iters=iters)
+    rays = rays_per_frame(cfg, scene)
+    fwd_mrays = mrays_per_sec(rays, fwd_s) / n_chips
+
+    result = {
+        "metric": f"Mrays_per_sec_per_chip_fwd_{scene_name}_{cfg.width}x{cfg.height}_spp{cfg.spp}",
+        "value": round(fwd_mrays, 4),
+        "unit": "Mrays/s/chip",
+        "scene": scene_name,
+        "resolution": f"{cfg.width}x{cfg.height}",
+        "spp": cfg.spp,
+        "rays_per_frame": rays,
+        "fwd_seconds": round(fwd_s, 4),
+        "device": str(jax.devices()[0]),
+        "chips_used": 1,
+    }
+
+    if backward:
+        # mb_scale (not mb_power): the trig-free power-8 DE fast path
+        # hard-codes the exponent, so power is not a bench-time parameter;
+        # scale/center carry the same IFT gradient structure
+        trainable = [p for p in ("sdf.sph_radius", "sdf.mb_scale", "camera.origin",
+                                 "materials.albedo", "lights.color", "mesh.verts")
+                     if _has_param(scene, p)]
+        params = extract_params(scene, trainable)
+
+        # backward runs with rematerialized 64k-ray blocks and forward-only
+        # visibility marches (hard-shadow gradients are zero anyway)
+        cfg_b = cfg.replace(diff_vis=False)
+        if cfg_b.block_size:
+            cfg_b = cfg_b.replace(block_size=min(cfg_b.block_size, 1 << 16))
+
+        def loss(pp):
+            return jnp.mean(render_image(apply_params(scene, pp), cfg_b) ** 2)
+
+        bwd = jax.jit(jax.grad(loss))
+        _, bwd_s = block_and_time(bwd, params, warmup=warmup, iters=max(iters - 1, 1))
+        result["fwdbwd_seconds"] = round(bwd_s, 4)
+        result["mrays_fwdbwd"] = round(mrays_per_sec(rays, bwd_s) / n_chips, 4)
+
+    prior = _prior_value(result["metric"])
+    result["vs_baseline"] = round(result["value"] / prior, 4) if prior else 1.0
+    return result
+
+
+def _has_param(scene, path: str) -> bool:
+    try:
+        from tpu_ray.fit import get_param
+
+        v = get_param(scene, path)
+        return hasattr(v, "size") and v.size > 0
+    except AttributeError:
+        return False

@@ -1,0 +1,257 @@
+"""Command-line entry points: render / fit / bench / gradcheck / scenes.
+
+TPU-native replacement for the reference's main.cpp + GL window + keyboard
+loop (SURVEY.md §2 #18): no interactive viewer — frames render to PNG, fits
+log metrics, benches print Mrays/s. Config overrides mirror the reference's
+compile-time constants as CLI flags.
+
+    python -m tpu_ray.cli render --scene mandelbulb --out bulb.png
+    python -m tpu_ray.cli fit --scene sphere --trainable sdf.sph_radius --steps 50
+    python -m tpu_ray.cli bench --scene mandelbulb
+    python -m tpu_ray.cli gradcheck --scene sphere
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_cfg_flags(p):
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--spp", type=int)
+    p.add_argument("--method")
+    p.add_argument("--shadow")
+    p.add_argument("--ao")
+    p.add_argument("--max-steps", type=int, dest="max_steps")
+    p.add_argument("--block-size", type=int, dest="block_size")
+    p.add_argument("--soft-silhouette", type=float, dest="soft_silhouette")
+    p.add_argument("--pallas", choices=["auto", "on", "off"])
+
+
+def _apply_cfg_flags(cfg, args):
+    for k in ("width", "height", "spp", "method", "shadow", "ao", "max_steps",
+              "block_size", "soft_silhouette", "pallas"):
+        v = getattr(args, k, None)
+        if v is not None:
+            cfg = cfg.replace(**{k: v})
+    return cfg
+
+
+def cmd_render(args):
+    import jax
+    from tpu_ray.render.render import render_image_jit
+    from tpu_ray.scene.scenes import build_scene
+    from tpu_ray.utils.image_io import write_png
+    from tpu_ray.utils.metrics import Timer, mrays_per_sec, rays_per_frame
+
+    scene, cfg = build_scene(args.scene)
+    cfg = _apply_cfg_flags(cfg, args)
+    if args.turntable:
+        _render_turntable(args, scene, cfg)
+        return
+    if args.sharded:
+        from tpu_ray.dist.sharding import make_mesh, render_image_sharded_jit
+
+        mesh = make_mesh()
+        run = lambda: np.asarray(render_image_sharded_jit(scene, cfg, mesh))
+    else:
+        run = lambda: np.asarray(jax.block_until_ready(render_image_jit(scene, cfg)))
+    img = run()  # warmup/compile
+    from tpu_ray.utils.metrics import profile_trace
+
+    with profile_trace(args.profile):
+        with Timer() as t:
+            img = run()
+    rays = rays_per_frame(cfg, scene)
+    print(f"[render] {args.scene} {cfg.width}x{cfg.height} spp={cfg.spp} "
+          f"{t.elapsed * 1e3:.1f} ms  {mrays_per_sec(rays, t.elapsed):.2f} Mrays/s")
+    write_png(args.out, img)
+    print(f"[render] wrote {args.out}")
+    if args.profile:
+        print(f"[render] profiler trace in {args.profile}")
+    if args.stats:
+        import json as _json
+
+        from tpu_ray.render.render import frame_stats
+
+        print("[render] stats:", _json.dumps(frame_stats(scene, cfg)))
+
+
+def _render_turntable(args, scene, cfg):
+    """The CLI stand-in for the reference's interactive orbit view: N frames
+    around the scene's look_at point reuse ONE jitted executable (only the
+    camera pytree leaves change between frames)."""
+    import os
+
+    import numpy as np_
+    import jax
+    import jax.numpy as jnp
+    from tpu_ray.render.render import render_image_jit
+    from tpu_ray.utils.image_io import write_png
+    from tpu_ray.utils.metrics import Timer, mrays_per_sec, rays_per_frame
+
+    n = args.turntable
+    center = np_.asarray(scene.camera.look_at)
+    offset = np_.asarray(scene.camera.origin) - center
+    radius = float(np_.hypot(offset[0], offset[2]))
+    phi0 = float(np_.arctan2(offset[0], offset[2]))
+    y = float(offset[1])
+    root, ext = os.path.splitext(args.out)
+    total = Timer().start()
+    for i in range(n):
+        phi = phi0 + 2.0 * np_.pi * i / n
+        origin = center + np_.asarray(
+            [radius * np_.sin(phi), y, radius * np_.cos(phi)])
+        s = scene.replace(camera=scene.camera.replace(
+            origin=jnp.asarray(origin, scene.camera.origin.dtype)))
+        img = np_.asarray(jax.block_until_ready(render_image_jit(s, cfg)))
+        write_png(f"{root}_{i:03d}{ext}", img)
+    secs = total.stop()
+    rays = rays_per_frame(cfg, scene) * n
+    print(f"[render] turntable {n} frames in {secs:.2f}s "
+          f"({secs / n * 1e3:.0f} ms/frame incl. PNG IO, "
+          f"{mrays_per_sec(rays, secs):.2f} Mrays/s) -> {root}_NNN{ext}")
+
+
+def cmd_fit(args):
+    import jax.numpy as jnp
+    from tpu_ray.fit import fit
+    from tpu_ray.render.render import render_image_jit
+    from tpu_ray.scene.scenes import build_scene
+    from tpu_ray.utils.config import FitConfig
+    from tpu_ray.utils.image_io import read_png, write_png
+
+    scene, cfg = build_scene(args.scene)
+    cfg = _apply_cfg_flags(cfg, args)
+    if args.target:
+        target = jnp.asarray(read_png(args.target))
+    else:
+        # demo: perturb the first trainable leaf and recover it
+        from tpu_ray.fit import extract_params, apply_params
+
+        params = extract_params(scene, args.trainable)
+        perturbed = {k: v * 1.15 + 0.02 for k, v in params.items()}
+        target = render_image_jit(apply_params(scene, perturbed), cfg)
+    mesh = None
+    if args.sharded:
+        from tpu_ray.dist.sharding import make_mesh
+
+        mesh = make_mesh()
+    fitted, history = fit(
+        scene, cfg, target, args.trainable,
+        FitConfig(steps=args.steps, learning_rate=args.lr,
+                  checkpoint_dir=args.checkpoint_dir),
+        mesh=mesh,
+    )
+    if history:
+        print(f"[fit] final loss {history[-1]:.3e}")
+    else:
+        print("[fit] checkpoint already at the requested step count; nothing to do")
+    if args.out:
+        write_png(args.out, np.asarray(render_image_jit(fitted, cfg)))
+        print(f"[fit] wrote {args.out}")
+
+
+def cmd_bench(args):
+    from tpu_ray import bench_lib
+
+    result = bench_lib.run_bench(args.scene, backward=not args.forward_only)
+    print(json.dumps(result))
+
+
+def cmd_gradcheck(args):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # float64 finite differences
+    import jax.numpy as jnp
+    from tpu_ray.fit import extract_params, apply_params
+    from tpu_ray.render.render import render_image
+    from tpu_ray.scene.scenes import build_scene
+    from tpu_ray.utils.gradcheck import check_grad
+
+    scene, cfg = build_scene(args.scene, dtype=jnp.float64)
+    cfg = cfg.replace(width=24, height=24, block_size=0, eps=min(cfg.eps, 1e-6),
+                      max_steps=max(cfg.max_steps, 256))
+    target = jax.lax.stop_gradient(render_image(scene, cfg) + 0.1)
+    failures = []
+    for path in args.trainable:
+        p0 = extract_params(scene, [path])[path]
+
+        def loss(v, path=path):
+            return jnp.mean((render_image(apply_params(scene, {path: v}), cfg)
+                             - target) ** 2)
+
+        try:
+            check_grad(loss, p0, eps=1e-5, rtol=args.rtol)
+            print(f"[gradcheck] {path}: OK")
+        except AssertionError as e:
+            failures.append(path)
+            print(f"[gradcheck] {path}: FAIL — {e}")
+    if failures:
+        sys.exit(1)
+
+
+def cmd_scenes(_args):
+    from tpu_ray.scene.scenes import build_scene, scene_names
+
+    for name in scene_names():
+        scene, cfg = build_scene(name)
+        print(f"{name:12s} {cfg.width}x{cfg.height} spp={cfg.spp} method={cfg.method} "
+              f"tris={scene.mesh.num_tris} sdf_prims={scene.sdf.num_primitives}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpu-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a scene to PNG")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-frame ray statistics (hit rate, march steps)")
+    p.add_argument("--turntable", type=int, metavar="N",
+                   help="render N frames orbiting the scene (out gets _000.. suffixes)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the timed frame")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("fit", help="inverse-render: optimize scene params")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--trainable", nargs="+", default=["sdf.sph_radius"])
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--target", help="target PNG (default: self-perturbation demo)")
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--out")
+    p.add_argument("--sharded", action="store_true")
+    _add_cfg_flags(p)
+    p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("bench", help="Mrays/s benchmark (one JSON line)")
+    p.add_argument("--scene", default="mandelbulb")
+    p.add_argument("--forward-only", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("gradcheck", help="finite-difference gradient check")
+    p.add_argument("--scene", default="sphere")
+    p.add_argument("--trainable", nargs="+",
+                   default=["sdf.sph_radius", "camera.origin", "materials.albedo"])
+    p.add_argument("--rtol", type=float, default=2e-3)
+    p.set_defaults(fn=cmd_gradcheck)
+
+    p = sub.add_parser("scenes", help="list registered scenes")
+    p.set_defaults(fn=cmd_scenes)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

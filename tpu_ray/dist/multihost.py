@@ -1,0 +1,78 @@
+"""Multi-host process-group setup and host-side I/O conventions.
+
+SURVEY.md §5 "Distributed communication backend": device communication is XLA
+collectives emitted by shard_map (sharding.py / grad_allreduce.py /
+scene_shard.py); THIS module is the host-side runtime around them —
+`jax.distributed.initialize` for the process group, process-0 gating for
+logs/PNG writes, and per-host sharded image writes for when gathering a full
+frame to one host is undesirable.
+
+Failure model (SURVEY.md §5 "Failure detection"): multi-host jobs are
+gang-scheduled; on any process failure the job restarts and `fit()` resumes
+from the last orbax checkpoint (resume-equivalence is tested). No elastic
+resize — renders are seconds-to-minutes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize the JAX process group (no-op if single-process).
+
+    With no arguments, relies on the environment (TPU pod metadata or
+    JAX_COORDINATOR_ADDRESS etc.) exactly like jax.distributed.initialize.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    if coordinator_address is None and jax.process_count() > 1:
+        return  # already initialized by the launcher
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process / already-initialized environments
+        pass
+
+
+def is_main() -> bool:
+    return jax.process_index() == 0
+
+
+def main_print(*args, **kw) -> None:
+    if is_main():
+        print(*args, **kw)
+
+
+def write_image_per_host(path: str, img) -> str:
+    """Write this host's addressable rows of a (possibly sharded) image.
+
+    Returns the per-host filename (suffix `.pNNN.png` when multi-process).
+    Single-process: writes `path` directly. Multi-process with a fully
+    replicated/gathered image: only process 0 writes.
+    """
+    from tpu_ray.utils.image_io import write_png
+
+    if jax.process_count() == 1:
+        write_png(path, np.asarray(img))
+        return path
+    if getattr(img, "is_fully_addressable", True):
+        if is_main():
+            write_png(path, np.asarray(img))
+        return path
+    shards = [s for s in img.addressable_shards]
+    root, ext = os.path.splitext(path)
+    out = f"{root}.p{jax.process_index():03d}{ext}"
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    write_png(out, rows)
+    return out

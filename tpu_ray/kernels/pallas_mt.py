@@ -1,0 +1,269 @@
+"""Pallas TPU packet-brute mesh intersection: chunk-culled Möller–Trumbore.
+
+The TPU-native replacement for grid DDA traversal on the hot path (SURVEY.md
+§2 #8, §7 hard part 1). Rationale and data layout in tpu_ray/accel/packet.py: the
+kernel walks Morton-ordered 128-triangle chunks; for each chunk it slab-tests
+the chunk AABB against the whole (8,128) ray tile and skips chunks that
+cannot beat any ray's current best hit (`@pl.when` tile-granular branch — the
+TPU analog of the DDA's per-ray cell skipping). Surviving chunks test each of
+their 128 triangles against ALL 1024 rays of the tile at once: triangle data
+broadcasts from static lane extracts, rays stay as full (8,128) component
+tiles, the closest-hit update is pure element-wise min — no gathers, no
+reductions, no dynamic lane slicing (Mosaic constraints).
+
+Everything here is selection-only (stop_gradient); the differentiable hit
+recompute happens outside against the original mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ray.accel.packet import CHUNK, ROWS_PER_CHUNK, SUPER, PacketAccel
+from tpu_ray.kernels.moller_trumbore import BIG, TriHit, _DET_EPS, _T_MIN
+
+TILE = (8, 128)
+TILE_RAYS = TILE[0] * TILE[1]
+
+
+def _tileize(x):
+    R = x.shape[0]
+    nt = -(-R // TILE_RAYS)
+    pad = nt * TILE_RAYS - R
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,))])
+    return x.reshape(nt * TILE[0], TILE[1]), R, nt
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
+                     t_max: float = BIG, any_hit: bool = False,
+                     sort_origin: jnp.ndarray | None = None,
+                     sort_dir: jnp.ndarray | None = None,
+                     t_init: jnp.ndarray | None = None,
+                     interpret: bool | None = None) -> TriHit:
+    """Closest-hit (or any-hit) over all chunks for a flat f32 ray batch.
+
+    sort_origin: optional (3,) point; supers are visited in order of distance
+    from it (front-to-back for primary rays sharing that origin), so an early
+    hit shrinks best_t and the slab cull rejects every farther chunk — the
+    packet analog of DDA's near-to-far cell order.
+    sort_dir: optional (3,) direction; supers are visited by ascending
+    projection onto it — the right order for shadow rays that all travel
+    toward the same (directional) light.
+    t_init: optional per-ray (R,) initial best-t bound (<= t_max). Rides as a
+    7th ray-component tile and seeds the kernel's best_t, so chunks beyond a
+    hit already found by a PREVIOUS part / ring shard are slab-culled — the
+    cross-part running-t_max shrink. Only strictly-better hits are recorded
+    (tri stays -1 otherwise); callers fold results across calls. For any-hit
+    callers, passing 0.0 for already-blocked rays culls all their work.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    dtype = o.dtype
+    t_far = float(min(t_max, BIG))
+
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    n_ray_ops = 6
+    if t_init is not None:
+        comps.append(jax.lax.stop_gradient(t_init))
+        n_ray_ops = 7
+    tiles = []
+    R = nt = None
+    for c in comps:
+        tc, R, nt = _tileize(c)
+        tiles.append(tc)
+
+    n_supers = accel.super_aabb.shape[0]
+    centers = 0.5 * (accel.super_aabb[:, 0:3] + accel.super_aabb[:, 3:6])
+    if sort_origin is not None:
+        d2 = jnp.sum((centers - jax.lax.stop_gradient(sort_origin)) ** 2, axis=1)
+        super_order = jnp.argsort(d2).astype(jnp.int32)
+    elif sort_dir is not None:
+        proj = centers @ jax.lax.stop_gradient(sort_dir)
+        super_order = jnp.argsort(proj).astype(jnp.int32)
+    else:
+        super_order = jnp.arange(n_supers, dtype=jnp.int32)
+
+    def kernel(*refs):
+        (order_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[:7]
+        ti_ref = refs[7] if n_ray_ops == 7 else None
+        cor_ref, aabb_ref, sup_ref, t_ref, tri_ref = refs[1 + n_ray_ops:]
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+        inv_x = sgn(dx) / jnp.maximum(jnp.abs(dx), 1e-12)
+        inv_y = sgn(dy) / jnp.maximum(jnp.abs(dy), 1e-12)
+        inv_z = sgn(dz) / jnp.maximum(jnp.abs(dz), 1e-12)
+
+        # per-ray best-t seed (cross-part/ring shrink) or the static t_far
+        t_ref[:] = jnp.minimum(ti_ref[:], t_far) if ti_ref is not None \
+            else ox * 0.0 + t_far
+        tri_ref[:] = ox * 0.0 - 1.0  # f32 triangle slot (exact ints < 2^24)
+
+        def slab(ab, best):
+            t0x = (ab[0, 0] - ox) * inv_x
+            t1x = (ab[0, 3] - ox) * inv_x
+            t0y = (ab[0, 1] - oy) * inv_y
+            t1y = (ab[0, 4] - oy) * inv_y
+            t0z = (ab[0, 2] - oz) * inv_z
+            t1z = (ab[0, 5] - oz) * inv_z
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            tn = jnp.maximum(tn, 0.0)
+            return (tf >= tn) & (tn < best)
+
+        def current_best():
+            best = t_ref[:]
+            if any_hit:
+                best = jnp.where(tri_ref[:] >= 0.0, 0.0, best)
+            return best
+
+        def chunk_body(ci):
+            ab = aabb_ref[pl.ds(ci, 1), :]  # (1,128): lanes 0-5 = lo/hi
+            active = slab(ab, current_best())
+
+            @pl.when(jnp.any(active))
+            def _():
+                base = pl.multiple_of(ci * ROWS_PER_CHUNK, ROWS_PER_CHUNK)
+                rows = cor_ref[pl.ds(base, ROWS_PER_CHUNK), :]  # (16,128)
+                best_t = t_ref[:]
+                best_tri = tri_ref[:]
+                cbase = (ci * CHUNK).astype(jnp.float32)
+                for j in range(CHUNK):  # static unroll: lane extracts
+                    v0x = rows[0, j]; v0y = rows[1, j]; v0z = rows[2, j]
+                    e1x = rows[3, j]; e1y = rows[4, j]; e1z = rows[5, j]
+                    e2x = rows[6, j]; e2y = rows[7, j]; e2z = rows[8, j]
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    ok = jnp.abs(det) > _DET_EPS
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                             & (t > _T_MIN) & (t < t_far))
+                    better = valid & (t < best_t)
+                    best_t = jnp.where(better, t, best_t)
+                    best_tri = jnp.where(better, cbase + j, best_tri)
+                t_ref[:] = best_t
+                tri_ref[:] = best_tri
+
+        def super_body(i, _):
+            si = order_ref[i]
+            sab = sup_ref[pl.ds(si, 1), :]
+            s_active = slab(sab, current_best())
+
+            @pl.when(jnp.any(s_active))
+            def _():
+                def inner(k, _):
+                    chunk_body(si * SUPER + k)
+                    return 0
+
+                jax.lax.fori_loop(0, SUPER, inner, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_supers, super_body, 0)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
+        jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
+    ]
+    # index maps receive the scalar-prefetch ref as an extra argument
+    ray_spec = pl.BlockSpec(TILE, lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[ray_spec] * n_ray_ops + [full(accel.corners),
+                                           full(accel.chunk_aabb),
+                                           full(accel.super_aabb)],
+        out_specs=[ray_spec, ray_spec],
+    )
+    t, tri_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(super_order, *tiles, accel.corners, accel.chunk_aabb, accel.super_aabb)
+
+    t = t.reshape(-1)[:R]
+    tri_sorted = tri_f.reshape(-1)[:R].astype(jnp.int32)
+    # a recorded tri implies a strictly valid hit (the in-kernel `valid`
+    # already requires t < t_far); extra slack here would drop boundary hits
+    # the brute/DDA oracles accept
+    hit = tri_sorted >= 0
+    if any_hit:
+        # any-hit short-circuits: t/tri are "some blocker", not the closest
+        return TriHit(jnp.where(hit, t, BIG), jnp.where(hit, 0, -1), hit)
+    # map sorted-chunk position back to the original triangle id
+    tri_orig = accel.perm[jnp.clip(tri_sorted, 0, accel.perm.shape[0] - 1)]
+    return TriHit(jnp.where(hit, t, BIG), jnp.where(hit, tri_orig, -1), hit)
+
+
+def any_hit_packet(accel: PacketAccel, o, d, t_max: float = BIG,
+                   interpret: bool | None = None):
+    return intersect_packet(accel, o, d, t_max=t_max, any_hit=True,
+                            interpret=interpret).hit
+
+
+def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = False,
+                           sort_origin=None, sort_dir=None, t_init=None,
+                           interpret: bool | None = None) -> TriHit:
+    """Closest-hit (or any-hit) over a list of VMEM-sized accel parts.
+
+    Parts are intersected sequentially with the running per-ray best t
+    threaded into each next call as its t_init seed (cross-part t_max
+    shrink): part N+1 slab-culls every chunk beyond part N's hits. Any-hit
+    threads a 0-seed for already-blocked rays, culling all their work.
+    Results merge by min-t; perm in each part maps to ORIGINAL triangle ids.
+    t_init additionally seeds the FIRST part (mixed scenes pass the SDF hit t;
+    any-hit callers pass 0 for rays whose shadow is already decided).
+    """
+    best = None
+    t_run = t_init
+    for accel in parts:
+        res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
+                               sort_origin=sort_origin, sort_dir=sort_dir,
+                               t_init=t_run, interpret=interpret)
+        if best is None:
+            best = res
+        elif any_hit:
+            hit = best.hit | res.hit
+            best = TriHit(jnp.where(best.hit, best.t, res.t),
+                          jnp.where(hit, 0, -1), hit)
+        else:
+            better = res.hit & (res.t < best.t)
+            best = TriHit(jnp.where(better, res.t, best.t),
+                          jnp.where(better, res.tri, best.tri),
+                          best.hit | res.hit)
+        if len(parts) > 1:
+            if any_hit:
+                t_run = jnp.where(best.hit, 0.0, jnp.full_like(best.t, t_max))
+            else:
+                t_run = jnp.minimum(best.t, t_max)
+            if t_init is not None:  # keep the caller's bound where unimproved
+                t_run = jnp.minimum(t_run, t_init)
+    return best
