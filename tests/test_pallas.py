@@ -173,8 +173,10 @@ def test_packet_parts_split_matches_brute():
 
     v, f = torus_knot(2, 3, 48, 48)  # 4608 tris = 2.25 supers
     mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
-    # budget of exactly one super (2048 tris) -> 3 parts
-    parts = build_packet_parts(v, f, budget_bytes=packet_accel_bytes(2048))
+    # budget of exactly one super (2048 tris) -> 3 parts (streamed=False
+    # forces the legacy sequential-parts path; default is one streamed accel)
+    parts = build_packet_parts(v, f, budget_bytes=packet_accel_bytes(2048),
+                               streamed=False)
     assert len(parts) >= 2
     rng = np.random.default_rng(11)
     o = jnp.asarray(rng.uniform(-3, 3, (300, 3)), jnp.float32)
@@ -191,6 +193,45 @@ def test_packet_parts_split_matches_brute():
                                 interpret=True).hit
     bh = mt.any_hit_brute(mesh, o, d, t_max=4.0)
     np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
+
+
+def test_packet_streamed_matches_brute():
+    """HBM-streamed kernel (double-buffered corner DMA, per-tile candidate
+    lists) vs brute-force MT — the oracle for the no-VMEM-cap path."""
+    from tpu_ray.accel.packet import build_packet_accel
+    from tpu_ray.kernels.pallas_mt import intersect_packet_streamed
+    from tpu_ray.kernels import moller_trumbore as mt
+    from tpu_ray.scene.mesh import MeshScene, torus_knot
+
+    v, f = torus_knot(2, 3, 48, 48)  # 4608 tris = 3 supers: real stream loop
+    mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
+    accel = build_packet_accel(v, f)
+    rng = np.random.default_rng(13)
+    o = jnp.asarray(rng.uniform(-3, 3, (700, 3)), jnp.float32)
+    dd = rng.normal(size=(700, 3))
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    got = intersect_packet_streamed(accel, o, d, interpret=True)
+    want = mt.intersect_brute(mesh, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.tri)[h], np.asarray(want.tri)[h])
+    # any-hit + t_init seeding (the shadow-ray configuration)
+    seed = jnp.where(jnp.arange(700) % 3 == 0, 0.0, 4.0).astype(jnp.float32)
+    ah = intersect_packet_streamed(accel, o, d, t_max=4.0, any_hit=True,
+                                   t_init=seed, interpret=True).hit
+    bh = np.asarray(mt.any_hit_brute(mesh, o, d, t_max=4.0))
+    blocked = np.asarray(seed) == 0.0
+    np.testing.assert_array_equal(np.asarray(ah)[~blocked], bh[~blocked])
+    # t_init-seeded closest hit: only hits strictly closer than the seed
+    tin = jnp.full((700,), 2.5, jnp.float32)
+    got2 = intersect_packet_streamed(accel, o, d, t_init=tin, interpret=True)
+    w_t = np.asarray(want.t)
+    keep = np.asarray(want.hit) & (w_t < 2.5)
+    np.testing.assert_array_equal(np.asarray(got2.hit), keep)
+    np.testing.assert_allclose(np.asarray(got2.t)[keep], w_t[keep],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_render_mixed_pallas_on_matches_off():

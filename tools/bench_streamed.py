@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""On-chip benchmark for the HBM-streamed packet kernel (SURVEY.md §7 hard
+part 2): a ≥1M-triangle mesh intersected in ONE kernel, vs the legacy
+multi-part sequential walk at the same size, vs the VMEM-resident kernel on
+a mesh that still fits.
+
+Done-criteria from the round-1 review:
+  * a ≥1M-tri mesh intersects in one kernel at >= the bunny-path Mrays/s;
+  * a ~281k-tri mesh runs FASTER streamed than multi-part.
+
+Usage (claims the chip; run ONE at a time):
+    python tools/bench_streamed.py [out_json]
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def camera_rays(n_side: int, dtype):
+    """Coherent primary-ray batch looking at the origin (scanline order:
+    each (8,128) kernel tile covers ~2 rows -> tight tile frusta)."""
+    import jax.numpy as jnp
+    from tpu_ray.render.camera import Camera, generate_rays
+
+    cam = Camera.make(origin=(0.0, 1.2, 3.2), look_at=(0.0, 0.0, 0.0),
+                      vfov_deg=45.0, dtype=dtype)
+    xs, ys = jnp.meshgrid(jnp.arange(n_side), jnp.arange(n_side),
+                          indexing="xy")
+    o, d = generate_rays(cam, xs.reshape(-1).astype(dtype),
+                         ys.reshape(-1).astype(dtype), n_side, n_side)
+    return o, d
+
+
+def bench(fn, *args, warmup=1, iters=3):
+    import jax
+
+    for _ in range(warmup):
+        r = fn(*args)
+        jax.block_until_ready(r)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), r
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "BENCH_STREAMED.json")
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ray.accel.packet import (build_packet_accel, build_packet_parts,
+                                      packet_accel_bytes, VMEM_BUDGET_BYTES)
+    from tpu_ray.kernels.pallas_mt import (intersect_packet,
+                                           intersect_packet_parts,
+                                           intersect_packet_streamed)
+    from tpu_ray.scene.mesh import torus_knot
+
+    dev = str(jax.devices()[0])
+    print(f"[stream-bench] device={dev}", flush=True)
+    results = {"device": dev}
+    o, d = camera_rays(512, jnp.float32)
+    n_rays = o.shape[0]
+
+    def mrays(dt):
+        return n_rays / dt / 1e6
+
+    # --- 1M-tri mesh: one streamed kernel --------------------------------
+    v, f = torus_knot(2, 3, 724, 724)  # 2*724*724 = 1,048,352 tris
+    T = f.shape[0]
+    print(f"[stream-bench] big mesh: {T} tris, accel "
+          f"{packet_accel_bytes(T) / 1e6:.0f} MB "
+          f"(VMEM budget {VMEM_BUDGET_BYTES / 1e6:.0f} MB)", flush=True)
+    accel = build_packet_accel(v, f)
+    s_fn = jax.jit(lambda oo, dd: intersect_packet_streamed(accel, oo, dd))
+    dt, hit_s = bench(s_fn, o, d)
+    results["streamed_1M"] = {"tris": int(T), "rays": int(n_rays),
+                              "seconds": round(dt, 4),
+                              "mrays_per_s": round(mrays(dt), 2),
+                              "hit_frac": float(np.asarray(hit_s.hit).mean())}
+    print(f"[stream-bench] streamed 1M-tri: {dt:.3f}s = "
+          f"{mrays(dt):.2f} Mrays/s", flush=True)
+
+    # legacy multi-part at 1M for comparison
+    parts = build_packet_parts(v, f, streamed=False)
+    p_fn = jax.jit(lambda oo, dd: intersect_packet_parts(parts, oo, dd))
+    dtp, hit_p = bench(p_fn, o, d)
+    results["parts_1M"] = {"parts": len(parts), "seconds": round(dtp, 4),
+                           "mrays_per_s": round(mrays(dtp), 2)}
+    print(f"[stream-bench] multi-part 1M-tri ({len(parts)} parts): "
+          f"{dtp:.3f}s = {mrays(dtp):.2f} Mrays/s", flush=True)
+    agree = float((np.asarray(hit_s.hit) == np.asarray(hit_p.hit)).mean())
+    results["agree_1M"] = agree
+    print(f"[stream-bench] hit agreement streamed vs parts: {agree}",
+          flush=True)
+
+    # --- 281k-tri mesh: streamed vs multi-part (round-1 multi-part size) --
+    v, f = torus_knot(2, 3, 375, 375)  # 281,250 tris
+    T = f.shape[0]
+    accel = build_packet_accel(v, f)
+    s_fn = jax.jit(lambda oo, dd: intersect_packet_streamed(accel, oo, dd))
+    dt, _ = bench(s_fn, o, d)
+    parts = build_packet_parts(v, f, streamed=False)
+    p_fn = jax.jit(lambda oo, dd: intersect_packet_parts(parts, oo, dd))
+    dtp, _ = bench(p_fn, o, d)
+    results["streamed_281k"] = {"tris": int(T), "seconds": round(dt, 4),
+                                "mrays_per_s": round(mrays(dt), 2)}
+    results["parts_281k"] = {"parts": len(parts), "seconds": round(dtp, 4),
+                             "mrays_per_s": round(mrays(dtp), 2)}
+    print(f"[stream-bench] 281k-tri: streamed {dt:.3f}s "
+          f"({mrays(dt):.2f} Mrays/s) vs parts {dtp:.3f}s "
+          f"({mrays(dtp):.2f} Mrays/s)", flush=True)
+
+    # --- VMEM-resident reference point: 70k bunny-scale mesh --------------
+    v, f = torus_knot(2, 3, 187, 187)  # 69,938 tris (bunny-scale)
+    accel = build_packet_accel(v, f)
+    r_fn = jax.jit(lambda oo, dd: intersect_packet(accel, oo, dd))
+    dtr, _ = bench(r_fn, o, d)
+    s_fn = jax.jit(lambda oo, dd: intersect_packet_streamed(accel, oo, dd))
+    dts, _ = bench(s_fn, o, d)
+    results["resident_70k"] = {"seconds": round(dtr, 4),
+                               "mrays_per_s": round(mrays(dtr), 2)}
+    results["streamed_70k"] = {"seconds": round(dts, 4),
+                               "mrays_per_s": round(mrays(dts), 2)}
+    print(f"[stream-bench] 70k-tri: resident {dtr:.3f}s "
+          f"({mrays(dtr):.2f} Mrays/s) vs streamed {dts:.3f}s "
+          f"({mrays(dts):.2f} Mrays/s)", flush=True)
+
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"[stream-bench] wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

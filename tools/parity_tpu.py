@@ -137,6 +137,23 @@ def main():
     record("packet_t_init_seed", ok_seed and int(h2.sum()) > 0,
            {"seeded_hits": int(h2.sum())})
 
+    # --- streamed kernel (HBM-resident accel, double-buffered DMA) -----------
+    from tpu_ray.kernels.pallas_mt import intersect_packet_streamed
+
+    v, f = torus_knot(2, 3, 48, 48)  # 4608 tris = 3 supers: real stream loop
+    mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
+    accel = build_packet_accel(v, f)
+    o = jnp.asarray(rng.uniform(-3, 3, (2000, 3)), jnp.float32)
+    dd = rng.normal(size=(2000, 3))
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    got = intersect_packet_streamed(accel, o, d, interpret=not on_tpu)
+    want = mt.intersect_brute(mesh, o, d)
+    hit_eq = bool((np.asarray(got.hit) == np.asarray(want.hit)).all())
+    h_ = np.asarray(want.hit)
+    terr = np.abs(np.asarray(got.t)[h_] - np.asarray(want.t)[h_])
+    record("packet_streamed_vs_brute", hit_eq and float(terr.max()) < 1e-3,
+           {"hit_equal": hit_eq, "t_max_err": float(terr.max())})
+
     # --- small frame goldens vs the scalar CPU oracle ------------------------
     for name in ("sphere", "pointlight", "mandelbulb", "mixed"):
         scene, cfg = build_scene(name)

@@ -224,17 +224,25 @@ def refit_packet_accel(accel: PacketAccel, verts, tris) -> PacketAccel:
 
 
 def build_packet_parts(verts: np.ndarray, tris: np.ndarray,
-                       budget_bytes: int = VMEM_BUDGET_BYTES) -> list:
-    """Split a mesh into as many VMEM-sized packet parts as needed.
+                       budget_bytes: int = VMEM_BUDGET_BYTES,
+                       streamed: bool | None = None) -> list:
+    """Build the packet accel for a mesh of any size.
 
-    The whole mesh is Morton-sorted first so each contiguous part is
-    spatially compact (its chunks/supers cull well); parts are intersected
-    sequentially by the wrapper (kernels/pallas_mt.intersect_packet_parts),
-    each with its own hierarchy. Removes the single-part ~196k-triangle cap.
+    Meshes under `budget_bytes` get one VMEM-resident part. Larger meshes:
+      * streamed=True (or None, the default policy): ONE whole-mesh accel —
+        the HBM-streamed kernel (pallas_mt.intersect_packet_streamed)
+        intersects it in a single kernel with double-buffered corner DMA,
+        carrying best_t across the whole mesh.
+      * streamed=False: legacy split into VMEM-sized parts intersected
+        sequentially with cross-part t_init threading.
+    The whole mesh is Morton-sorted first either way, so chunks/supers (and
+    legacy parts) are spatially compact and cull well.
     """
     tris = np.asarray(tris, np.int64).reshape(-1, 3)
     T = tris.shape[0]
     if packet_accel_bytes(T) <= budget_bytes:
+        return [build_packet_accel(verts, tris)]
+    if streamed or streamed is None:
         return [build_packet_accel(verts, tris)]
     verts64 = np.asarray(verts, np.float64)
     order = _morton_order(verts64, tris)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_ray.accel.packet import CHUNK, ROWS_PER_CHUNK, SUPER, PacketAccel
+from tpu_ray.accel.packet import (CHUNK, ROWS_PER_CHUNK, SUPER,
+                                  VMEM_BUDGET_BYTES, PacketAccel)
 from tpu_ray.kernels.moller_trumbore import BIG, TriHit, _DET_EPS, _T_MIN
 
 TILE = (8, 128)
@@ -40,6 +41,43 @@ def _tileize(x):
 
 def _use_interpret():
     return jax.default_backend() != "tpu"
+
+
+def _mt_chunk_update(rows, ox, oy, oz, dx, dy, dz, best_t, best_tri,
+                     cbase, t_far):
+    """Test one 128-triangle chunk against a whole (8,128) ray tile.
+
+    rows: (>=9, 128) chunk data block (v0/e1/e2 xyz per lane); the triangle
+    loop is a static unroll of 128 scalar lane extracts — triangle data
+    broadcasts against full ray tiles, so the inner loop is pure VPU
+    element-wise arithmetic (no gathers, no reductions; Mosaic-safe).
+    Shared by the VMEM-resident kernel and the HBM-streamed kernel.
+    """
+    for j in range(CHUNK):  # static unroll: lane extracts
+        v0x = rows[0, j]; v0y = rows[1, j]; v0z = rows[2, j]
+        e1x = rows[3, j]; e1y = rows[4, j]; e1z = rows[5, j]
+        e2x = rows[6, j]; e2y = rows[7, j]; e2z = rows[8, j]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > _DET_EPS
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                 & (t > _T_MIN) & (t < t_far))
+        better = valid & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_tri = jnp.where(better, cbase + j, best_tri)
+    return best_t, best_tri
 
 
 def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
@@ -139,33 +177,10 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
             def _():
                 base = pl.multiple_of(ci * ROWS_PER_CHUNK, ROWS_PER_CHUNK)
                 rows = cor_ref[pl.ds(base, ROWS_PER_CHUNK), :]  # (16,128)
-                best_t = t_ref[:]
-                best_tri = tri_ref[:]
                 cbase = (ci * CHUNK).astype(jnp.float32)
-                for j in range(CHUNK):  # static unroll: lane extracts
-                    v0x = rows[0, j]; v0y = rows[1, j]; v0z = rows[2, j]
-                    e1x = rows[3, j]; e1y = rows[4, j]; e1z = rows[5, j]
-                    e2x = rows[6, j]; e2y = rows[7, j]; e2z = rows[8, j]
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    ok = jnp.abs(det) > _DET_EPS
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                             & (t > _T_MIN) & (t < t_far))
-                    better = valid & (t < best_t)
-                    best_t = jnp.where(better, t, best_t)
-                    best_tri = jnp.where(better, cbase + j, best_tri)
+                best_t, best_tri = _mt_chunk_update(
+                    rows, ox, oy, oz, dx, dy, dz, t_ref[:], tri_ref[:],
+                    cbase, t_far)
                 t_ref[:] = best_t
                 tri_ref[:] = best_tri
 
@@ -209,6 +224,11 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
         interpret=interpret,
     )(super_order, *tiles, accel.corners, accel.chunk_aabb, accel.super_aabb)
 
+    return _finalize_hits(t, tri_f, accel, R, any_hit)
+
+
+def _finalize_hits(t, tri_f, accel: PacketAccel, R: int, any_hit: bool) -> TriHit:
+    """Unpad kernel outputs and map sorted-chunk slots to original tri ids."""
     t = t.reshape(-1)[:R]
     tri_sorted = tri_f.reshape(-1)[:R].astype(jnp.int32)
     # a recorded tri implies a strictly valid hit (the in-kernel `valid`
@@ -221,6 +241,247 @@ def intersect_packet(accel: PacketAccel, o: jnp.ndarray, d: jnp.ndarray,
     # map sorted-chunk position back to the original triangle id
     tri_orig = accel.perm[jnp.clip(tri_sorted, 0, accel.perm.shape[0] - 1)]
     return TriHit(jnp.where(hit, t, BIG), jnp.where(hit, tri_orig, -1), hit)
+
+
+def _tile_super_candidates(tiles, n_ray_ops, nt, accel: PacketAccel,
+                           t_far: float):
+    """XLA pre-pass for the streamed kernel: per (ray tile, super) candidate
+    selection by conservative frustum-vs-AABB interval arithmetic.
+
+    For each (8,128) ray tile, bound the tile's rays by intervals
+    (o in [o_lo,o_hi], d in [d_lo,d_hi] per axis, t_seed <= max seed) and
+    slab-test every super AABB against the whole interval family: per axis,
+    the lower bound of t_near over the family is the min of the four interval
+    endpoint products (b - o)/d, and the upper bound of t_far is the max —
+    conservative for any monotone 1/d over a sign-definite interval. An axis
+    whose direction interval spans zero gives no constraint (rays diverge).
+    The result strictly overestimates the per-ray slab pass set, so no hit is
+    ever lost; the in-kernel per-ray slab re-test (against the *shrinking*
+    best t) removes the slack.
+
+    Returns (cand, cnt): cand (nt, S) int32 super ids sorted front-to-back by
+    conservative entry distance (padding after cnt[i] never read — the kernel
+    loop bound is cnt), cnt (nt,) int32 candidate counts. This is the work
+    list that drives the kernel's double-buffered HBM->VMEM corner streaming:
+    supers that no ray in the tile can touch are never DMA'd at all.
+    """
+    comps = [c.reshape(nt, TILE[0], TILE[1]) for c in tiles[:6]]
+    o_lo = jnp.stack([c.min((1, 2)) for c in comps[:3]], -1)  # (nt, 3)
+    o_hi = jnp.stack([c.max((1, 2)) for c in comps[:3]], -1)
+    d_lo = jnp.stack([c.min((1, 2)) for c in comps[3:6]], -1)
+    d_hi = jnp.stack([c.max((1, 2)) for c in comps[3:6]], -1)
+    if n_ray_ops == 7:
+        seed = tiles[6].reshape(nt, -1)
+        tmax_t = jnp.minimum(seed, t_far).max(1)  # (nt,)
+    else:
+        tmax_t = jnp.full((nt,), t_far, tiles[0].dtype)
+
+    lo = accel.super_aabb[:, 0:3][None]  # (1, S, 3)
+    hi = accel.super_aabb[:, 3:6][None]
+    eps = 1e-12
+    mixed = (d_lo[:, None] < eps) & (d_hi[:, None] > -eps)  # (nt, 1, 3)
+    safe = lambda v: jnp.where(jnp.abs(v) < eps, jnp.where(v < 0, -eps, eps), v)
+    inv1 = 1.0 / safe(d_lo)[:, None]  # (nt, 1, 3)
+    inv2 = 1.0 / safe(d_hi)[:, None]
+    num_l1 = lo - o_hi[:, None]  # (nt, S, 3)
+    num_l2 = lo - o_lo[:, None]
+    num_h1 = hi - o_hi[:, None]
+    num_h2 = hi - o_lo[:, None]
+    prods_lo = jnp.stack([num_l1 * inv1, num_l1 * inv2,
+                          num_l2 * inv1, num_l2 * inv2])
+    prods_hi = jnp.stack([num_h1 * inv1, num_h1 * inv2,
+                          num_h2 * inv1, num_h2 * inv2])
+    big = jnp.asarray(1e30, tiles[0].dtype)
+    t_near_ax = jnp.minimum(jnp.minimum(prods_lo.min(0), prods_hi.min(0)),
+                            jnp.where(mixed, -big, big))
+    t_far_ax = jnp.maximum(jnp.maximum(prods_lo.max(0), prods_hi.max(0)),
+                           jnp.where(mixed, big, -big))
+    tn = jnp.maximum(t_near_ax.max(-1), 0.0)  # (nt, S)
+    tf = t_far_ax.min(-1)
+    mask = (tf >= tn) & (tn < tmax_t[:, None])
+    key = jnp.where(mask, tn, jnp.inf)
+    cand = jnp.argsort(key, axis=1).astype(jnp.int32)  # front-to-back
+    cnt = mask.sum(1, dtype=jnp.int32)  # (nt,)
+    return cand, cnt
+
+
+def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
+                              d: jnp.ndarray, t_max: float = BIG,
+                              any_hit: bool = False,
+                              t_init: jnp.ndarray | None = None,
+                              interpret: bool | None = None) -> TriHit:
+    """Closest-hit (or any-hit) with the accel resident in HBM (SURVEY.md §7
+    hard part 2): removes the VMEM mesh-size cap of `intersect_packet`.
+
+    Per ray tile, the kernel walks ONLY the supers on the tile's precomputed
+    candidate list (see _tile_super_candidates), streaming each candidate's
+    corner rows + chunk AABBs HBM->VMEM with double-buffered async copies:
+    the copy for candidate k+1 is issued before candidate k is processed, so
+    DMA latency hides behind the 16-chunk Moller-Trumbore work. best_t is
+    carried across the WHOLE mesh in one kernel (no cross-part reseeding),
+    and candidates are ordered front-to-back by conservative entry distance,
+    so an early hit slab-culls everything behind it — compute for a culled
+    candidate is skipped even though its stream was already in flight.
+
+    Unlike the resident kernel there is no per-call VMEM budget: scratch is
+    2 slots x one super (16 chunks = 2048 triangles, ~136 KB), whatever the
+    mesh size. Super AABBs (S x 128 f32) stay VMEM-resident for the re-test.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    dtype = o.dtype
+    t_far = float(min(t_max, BIG))
+
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    n_ray_ops = 6
+    if t_init is not None:
+        comps.append(jax.lax.stop_gradient(t_init))
+        n_ray_ops = 7
+    tiles = []
+    R = nt = None
+    for c in comps:
+        tc, R, nt = _tileize(c)
+        tiles.append(tc)
+
+    n_supers = accel.super_aabb.shape[0]
+    cand, cnt = _tile_super_candidates(tiles, n_ray_ops, nt, accel, t_far)
+
+    rows_per_super = SUPER * ROWS_PER_CHUNK
+
+    def kernel(*refs):
+        cand_ref, cnt_ref = refs[0], refs[1]  # scalar-prefetch SMEM (full)
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[2:8]
+        ti_ref = refs[8] if n_ray_ops == 7 else None
+        sup_ref, cor_hbm, cab_hbm, t_ref, tri_ref, cor_scr, cab_scr, sems = \
+            refs[2 + n_ray_ops:]
+        i = pl.program_id(0)
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+        inv_x = sgn(dx) / jnp.maximum(jnp.abs(dx), 1e-12)
+        inv_y = sgn(dy) / jnp.maximum(jnp.abs(dy), 1e-12)
+        inv_z = sgn(dz) / jnp.maximum(jnp.abs(dz), 1e-12)
+
+        t_ref[:] = jnp.minimum(ti_ref[:], t_far) if ti_ref is not None \
+            else ox * 0.0 + t_far
+        tri_ref[:] = ox * 0.0 - 1.0
+
+        def slab(ab, best):
+            t0x = (ab[0, 0] - ox) * inv_x
+            t1x = (ab[0, 3] - ox) * inv_x
+            t0y = (ab[0, 1] - oy) * inv_y
+            t1y = (ab[0, 4] - oy) * inv_y
+            t0z = (ab[0, 2] - oz) * inv_z
+            t1z = (ab[0, 5] - oz) * inv_z
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            tn = jnp.maximum(tn, 0.0)
+            return (tf >= tn) & (tn < best)
+
+        def current_best():
+            best = t_ref[:]
+            if any_hit:
+                best = jnp.where(tri_ref[:] >= 0.0, 0.0, best)
+            return best
+
+        n_cand = cnt_ref[i]
+
+        def dmas(slot, si):
+            cor_base = si * rows_per_super
+            return (
+                pltpu.make_async_copy(
+                    cor_hbm.at[pl.ds(cor_base, rows_per_super), :],
+                    cor_scr.at[pl.ds(slot * rows_per_super, rows_per_super), :],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    cab_hbm.at[pl.ds(si * SUPER, SUPER), :],
+                    cab_scr.at[pl.ds(slot * SUPER, SUPER), :],
+                    sems.at[slot, 1]),
+            )
+
+        @pl.when(n_cand > 0)
+        def _():
+            for c in dmas(0, cand_ref[i, 0]):
+                c.start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, jnp.int32(2))
+            si = cand_ref[i, k]
+
+            @pl.when(k + 1 < n_cand)
+            def _():  # issue next stream before touching this one
+                for c in dmas(jax.lax.rem(k + 1, jnp.int32(2)),
+                              cand_ref[i, k + 1]):
+                    c.start()
+
+            for c in dmas(slot, si):
+                c.wait()
+
+            sab = sup_ref[pl.ds(si, 1), :]
+            s_active = slab(sab, current_best())
+
+            @pl.when(jnp.any(s_active))
+            def _():
+                def chunk_inner(k2, _):
+                    ab = cab_scr[pl.ds(slot * SUPER + k2, 1), :]
+                    c_active = slab(ab, current_best())
+
+                    @pl.when(jnp.any(c_active))
+                    def _():
+                        base = pl.multiple_of(
+                            slot * rows_per_super + k2 * ROWS_PER_CHUNK,
+                            ROWS_PER_CHUNK)
+                        rows = cor_scr[pl.ds(base, ROWS_PER_CHUNK), :]
+                        cbase = ((si * SUPER + k2) * CHUNK).astype(jnp.float32)
+                        best_t, best_tri = _mt_chunk_update(
+                            rows, ox, oy, oz, dx, dy, dz,
+                            t_ref[:], tri_ref[:], cbase, t_far)
+                        t_ref[:] = best_t
+                        tri_ref[:] = best_tri
+
+                    return 0
+
+                jax.lax.fori_loop(0, SUPER, chunk_inner, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_cand, body, 0)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
+        jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
+    ]
+    # cand/cnt ride as scalar-prefetch SMEM arrays (full, grid-indexed in
+    # the kernel via program_id) — blocked SMEM specs don't lower on Mosaic
+    ray_spec = pl.BlockSpec(TILE, lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    sup_full = pl.BlockSpec(accel.super_aabb.shape, lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[ray_spec] * n_ray_ops + [sup_full, hbm, hbm],
+        out_specs=[ray_spec, ray_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2 * rows_per_super, CHUNK), jnp.float32),
+            pltpu.VMEM((2 * SUPER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    t, tri_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(cand, cnt, *tiles, accel.super_aabb, accel.corners, accel.chunk_aabb)
+    return _finalize_hits(t, tri_f, accel, R, any_hit)
 
 
 def any_hit_packet(accel: PacketAccel, o, d, t_max: float = BIG,
@@ -245,9 +506,18 @@ def intersect_packet_parts(parts, o, d, t_max: float = BIG, any_hit: bool = Fals
     best = None
     t_run = t_init
     for accel in parts:
-        res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
-                               sort_origin=sort_origin, sort_dir=sort_dir,
-                               t_init=t_run, interpret=interpret)
+        accel_bytes = (accel.corners.size + accel.chunk_aabb.size
+                       + accel.super_aabb.size) * 4
+        if accel_bytes > VMEM_BUDGET_BYTES:
+            # over-budget part: HBM-streamed kernel (no VMEM cap; its
+            # per-tile front-to-back candidate order subsumes sort_origin/dir)
+            res = intersect_packet_streamed(accel, o, d, t_max=t_max,
+                                            any_hit=any_hit, t_init=t_run,
+                                            interpret=interpret)
+        else:
+            res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
+                                   sort_origin=sort_origin, sort_dir=sort_dir,
+                                   t_init=t_run, interpret=interpret)
         if best is None:
             best = res
         elif any_hit:
