@@ -87,16 +87,31 @@ def profile_trace(log_dir: Optional[str]):
         yield
 
 
+def _force(result):
+    """Block until `result` is actually computed.
+
+    block_until_ready alone can return early through the remote-device
+    tunnel (observed: a 1024x1024 frame "completing" in 0.1 ms); fetching
+    one scalar element of every leaf forces real completion at negligible
+    transfer cost.
+    """
+    import jax
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(result):
+        if hasattr(leaf, "shape"):
+            np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+    return result
+
+
 def block_and_time(fn, *args, warmup: int = 1, iters: int = 3, **kw):
     """Run fn (device computation) with warmup, return (result, best_seconds)."""
-    import jax
-
     result = None
     for _ in range(max(warmup, 1)):
-        result = jax.block_until_ready(fn(*args, **kw))
+        result = _force(fn(*args, **kw))
     best = float("inf")
     for _ in range(max(iters, 1)):
         t = Timer().start()
-        result = jax.block_until_ready(fn(*args, **kw))
+        result = _force(fn(*args, **kw))
         best = min(best, t.stop())
     return result, best
