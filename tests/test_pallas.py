@@ -244,3 +244,18 @@ def test_render_mixed_pallas_on_matches_off():
     err = np.abs(a - b).max(-1)
     # fractal march rounding (see mandelbulb variant above) + f32 packet t
     assert np.quantile(err, 0.95) < 5e-3 and err.max() < 1.0
+
+
+def test_knot1m_scene_streams():
+    """The 1M-tri registry scene builds ONE whole-mesh packet accel over the
+    VMEM budget — i.e. it renders through the streamed kernel. (The render
+    itself is TPU-only: 1M tris is far too slow for interpret mode; on-chip
+    coverage is tools/parity_tpu.py + the knot1m gallery render.)"""
+    from tpu_ray.accel.packet import VMEM_BUDGET_BYTES, packet_accel_bytes
+    from tpu_ray.scene.scenes import build_scene
+
+    scene, cfg = build_scene("knot1m")
+    assert scene.mesh.num_tris > 1_000_000
+    assert scene.grid is None  # with_packet: no CSR grid for huge meshes
+    assert len(scene.packet) == 1
+    assert packet_accel_bytes(scene.packet[0].num_tris) > VMEM_BUDGET_BYTES

@@ -126,6 +126,31 @@ def bunny_scene(dtype=jnp.float32):
     return scene, cfg
 
 
+@register("knot1m")
+def knot1m_scene(dtype=jnp.float32):
+    """Streamed-kernel showcase: a ~1.05M-triangle torus knot whose packet
+    accel (72 MB) is 5.5x the VMEM budget — renderable ONLY because the
+    HBM-streamed kernel (pallas_mt.intersect_packet_streamed) walks the
+    whole mesh in one kernel. No uniform grid is built (with_packet): the
+    mesh exceeds what the reference's grid+DDA design was sized for, which
+    is the point of the scene.
+    """
+    from tpu_ray.scene.mesh import torus_knot
+
+    kv, kf = torus_knot(2, 3, 724, 724)
+    kv = kv + np.array([0.0, 1.12, 0.0])  # rest on the ground plane
+    body = MeshScene.from_numpy(kv, kf, mat_id=0, dtype=dtype)
+    gv, gf = ground_plane_quad(0.0, 8.0)
+    ground = MeshScene.from_numpy(gv, gf, mat_id=1, dtype=dtype)
+    mesh = concat_meshes(body, ground)
+    cam = Camera.make((0.0, 1.9, 3.4), (0.0, 1.0, 0.0), vfov_deg=45.0, dtype=dtype)
+    scene = _base(dtype, cam, mesh=mesh,
+                  albedos=[[0.62, 0.7, 0.82], [0.7, 0.73, 0.72]]).with_packet()
+    cfg = RenderConfig(width=1024, height=1024, spp=1, method="mesh_grid",
+                       shadow="hard", t_far=40.0, block_size=1 << 16)
+    return scene, cfg
+
+
 @register("mandelbulb")
 def mandelbulb_scene(dtype=jnp.float32):
     """BASELINE config 4: Mandelbulb DE, 4× supersampling, soft shadows + AO."""

@@ -91,17 +91,28 @@ class Scene:
         import numpy as np
 
         from tpu_ray.accel.grid_build import build_grid
-        from tpu_ray.accel.packet import build_packet_parts
 
         verts = np.asarray(self.mesh.verts)
         tris = np.asarray(self.mesh.tris)
-        # list of VMEM-sized packet parts (one for meshes under ~196k tris;
-        # larger meshes split into sequentially-intersected parts)
-        packet = build_packet_parts(verts, tris) if tris.shape[0] else None
-        return self.replace(
-            grid=build_grid(verts, tris, density=density),
-            packet=packet,
-        )
+        return self.with_packet().replace(
+            grid=build_grid(verts, tris, density=density))
+
+    def with_packet(self) -> "Scene":
+        """Build only the packet accel (host-side) — the TPU hot path.
+
+        For meshes too large for the uniform grid's CSR to be worth
+        building (e.g. the 1M-tri streamed-kernel scenes), skip with_grid:
+        the streamed packet kernel needs no grid and has no size cap."""
+        import numpy as np
+
+        from tpu_ray.accel.packet import build_packet_parts
+
+        tris = np.asarray(self.mesh.tris)
+        # one whole-mesh accel by default (HBM-streamed kernel; legacy
+        # streamed=False builds split into VMEM-sized sequential parts)
+        packet = (build_packet_parts(np.asarray(self.mesh.verts), tris)
+                  if tris.shape[0] else None)
+        return self.replace(packet=packet)
 
     @property
     def has_sdf(self) -> bool:
