@@ -226,12 +226,19 @@ def soft_shadow_sdf(sdf, p, l_dir, cfg, t_far=None):
     return min(max(s, 0.0), 1.0)
 
 
-def ao_sdf(sdf, p, n, cfg):
+def ao_sdf(sdf, p, n, cfg, t_mesh=None):
+    """Mirrors tpu_ray/render/shading.py sdf_ambient_occlusion: 5 DF taps;
+    t_mesh (closest mesh hit along n from p, BIG on miss) folds mesh
+    geometry into each tap as min(DE, |t_mesh - h|); sdf=None skips the
+    SDF term (pure-mesh AO)."""
     occ = 0.0
     w = 1.0
     for i in range(1, 6):
         h = cfg.ao_step * i
-        occ += w * (h - sdf_distance(sdf, p + h * n))
+        dd = sdf_distance(sdf, p + h * n) if sdf is not None else BIG
+        if t_mesh is not None:
+            dd = min(dd, abs(t_mesh - h))
+        occ += w * (h - dd)
         w *= 0.7
     return min(max(1.0 - cfg.ao_strength * occ, 0.0), 1.0)
 
@@ -336,9 +343,19 @@ def render_ray(scene, cfg, o, d, method=None, corners=None):
     if np.dot(n, d) > 0.0:
         n = -n
 
-    # AO gate mirrors src make_ao: by scene CONTENT, not by method
-    if cfg.ao == "sdf5" and _has_sdf(scene):
-        ao = ao_sdf(scene.sdf, p, n, cfg)
+    # AO gate mirrors src make_ao: SDF term by scene CONTENT; mesh term by
+    # traced method + non-empty mesh (the ao_tmesh residual's gate)
+    ao_mesh = use_mesh and len(scene.mesh.tris) > 0
+    if cfg.ao == "sdf5" and (_has_sdf(scene) or ao_mesh):
+        t_ao = None
+        if ao_mesh:
+            po = p + cfg.shadow_bias * n
+            tm, _tri, hm = intersect_mesh(
+                scene.mesh, po, n, t_max=5.0 * cfg.ao_step + cfg.shadow_bias,
+                corners=corners)
+            t_ao = tm + cfg.shadow_bias if hm else BIG
+        ao = ao_sdf(scene.sdf if _has_sdf(scene) else None, p, n, cfg,
+                    t_mesh=t_ao)
     else:
         ao = 1.0
     radiance = scene.lights.ambient * ao

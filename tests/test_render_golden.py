@@ -126,3 +126,34 @@ def test_mixed_scene_golden_small():
     d = np.abs(img - ref_img).max(-1)
     # fractal pixels: central-diff vs autodiff normals (see mandelbulb golden)
     assert np.quantile(d, 0.95) < 1e-4 and d.max() < 0.05
+
+
+def test_mixed_ao_golden_small():
+    """Mesh-aware DF-AO (ao=sdf5 on the mixed scene): mesh occludes and
+    receives the 5-tap AO via the ao_tmesh residual; must match the scalar
+    CPU oracle's mirrored formula."""
+    scene, cfg = build_scene("mixed", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16, spp=1, block_size=0,
+                      method="mixed", max_steps=64, ao="sdf5",
+                      ao_strength=1.5, ao_step=0.06)
+    scene = scene.replace(grid=None, packet=None)  # force brute mesh path
+    img = np.asarray(render_image(scene, cfg))
+    ref_img = cpu_renderer.render_image(scene, cfg)
+    d = np.abs(img - ref_img).max(-1)
+    assert np.quantile(d, 0.95) < 1e-4 and d.max() < 0.05
+
+
+def test_bunny_mesh_only_ao():
+    """Pure-mesh AO: with no SDF in the scene, ao=sdf5 still darkens contact
+    regions through the mesh tap term (it was previously a no-op)."""
+    from tpu_ray.scene.scenes import build_scene as bs
+
+    scene, cfg = bs("triangles", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16, spp=1, block_size=0, ao="sdf5",
+                      ao_strength=1.5, ao_step=0.08)
+    img_ao = np.asarray(render_image(scene, cfg))
+    img_no = np.asarray(render_image(scene, cfg.replace(ao="none")))
+    ref_img = cpu_renderer.render_image(scene, cfg)
+    d = np.abs(img_ao - ref_img).max(-1)
+    assert np.quantile(d, 0.95) < 1e-4 and d.max() < 0.05
+    assert img_ao.sum() < img_no.sum()  # AO only ever darkens

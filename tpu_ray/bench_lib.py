@@ -44,18 +44,46 @@ def _prior_value(metric: str):
     return None if best is None else best[1]
 
 
+PERSISTENT_BELOW_RAYS = 4_000_000  # frames smaller than this are dispatch-
+# bound through the device tunnel (~29 ms fixed roundtrip, BASELINE.md
+# caveat): bench them as a persistent K-frame turntable loop inside ONE
+# dispatch (lax.map over camera poses, the --turntable pattern) and divide.
+
+
 def run_bench(scene_name: str = "mixed", backward: bool = True,
-              warmup: int = 1, iters: int = 2) -> dict:
+              warmup: int = 1, iters: int = 2,
+              persistent: bool | None = None) -> dict:
     from tpu_ray.fit import extract_params, apply_params
     from tpu_ray.render.render import render_image
     from tpu_ray.scene.scenes import build_scene
 
     scene, cfg = build_scene(scene_name)
     n_chips = 1  # the jitted render runs on the default device only
-
-    fwd = jax.jit(lambda s: render_image(s, cfg))
-    _, fwd_s = block_and_time(fwd, scene, warmup=warmup, iters=iters)
     rays = rays_per_frame(cfg, scene)
+    if persistent is None:
+        persistent = rays < PERSISTENT_BELOW_RAYS
+
+    if persistent:
+        k = 16
+        ang = jnp.linspace(0.0, 2.0 * jnp.pi, k, endpoint=False)
+        o0 = scene.camera.origin
+        r = jnp.sqrt(o0[0] ** 2 + o0[2] ** 2)
+        origins = jnp.stack([r * jnp.sin(ang),
+                             jnp.broadcast_to(o0[1], ang.shape),
+                             r * jnp.cos(ang)], -1)
+
+        def frames(s):
+            return jax.lax.map(
+                lambda org: render_image(
+                    s.replace(camera=s.camera.replace(origin=org)), cfg),
+                origins)
+
+        fwd = jax.jit(frames)
+        _, fwd_k = block_and_time(fwd, scene, warmup=warmup, iters=iters)
+        fwd_s = fwd_k / k
+    else:
+        fwd = jax.jit(lambda s: render_image(s, cfg))
+        _, fwd_s = block_and_time(fwd, scene, warmup=warmup, iters=iters)
     fwd_mrays = mrays_per_sec(rays, fwd_s) / n_chips
 
     result = {
@@ -69,6 +97,7 @@ def run_bench(scene_name: str = "mixed", backward: bool = True,
         "fwd_seconds": round(fwd_s, 4),
         "device": str(jax.devices()[0]),
         "chips_used": 1,
+        "persistent_loop": bool(persistent),
     }
 
     if backward:

@@ -169,6 +169,26 @@ def _mesh_intersect(scene: Scene, cfg: RenderConfig, o, d, method: str,
     return jax.lax.stop_gradient(res.tri), res.hit
 
 
+def _mesh_closest_t(scene: Scene, cfg: RenderConfig, o, d, t_max):
+    """Stop-grad closest mesh hit distance along per-ray dirs within t_max
+    (BIG on miss) — the mesh term of the DF-AO taps (make_ao)."""
+    if scene.ring is not None:
+        from tpu_ray.dist.scene_shard import intersect_ring_packet
+
+        res = intersect_ring_packet(scene.ring, o, d, t_max=t_max)
+    elif scene.packet is not None and use_pallas(cfg, o.dtype):
+        from tpu_ray.kernels.pallas_mt import intersect_packet_parts
+
+        res = intersect_packet_parts(scene.packet, o, d, t_max=t_max)
+    elif scene.grid is not None:
+        from tpu_ray.kernels.dda import intersect_grid
+
+        res = intersect_grid(scene.mesh, scene.grid, o, d, t_max=t_max)
+    else:
+        res = mt.intersect_brute(scene.mesh, o, d, t_max=t_max)
+    return jax.lax.stop_gradient(jnp.where(res.hit, res.t, mt.BIG))
+
+
 def _mesh_any_hit_generic(scene: Scene, cfg: RenderConfig, p, d, t_max,
                           sort, method: str, t_init=None):
     """Mesh occlusion query for shadow rays. `d` may be unnormalized (point
@@ -285,12 +305,21 @@ def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
         tri, mhit = _mesh_intersect(scene, cfg, o, d, method, t_init=t_seed)
         res["mesh_tri"], res["mesh_hit"] = tri, mhit
 
-    if cfg.shadow != "none":
-        # shadow-ray origins: the selected hit point offset along the
+    ao_mesh = (cfg.ao == "sdf5" and _use_mesh(scene, method)
+               and scene.has_mesh)
+    if cfg.shadow != "none" or ao_mesh:
+        # shadow/AO-ray origins: the selected hit point offset along the
         # (ray-facing) normal — same values the shade pass will use
         _t, _hit, p, n, _mat, _cov = reconstruct_hits(scene, cfg, o, d, res, method)
         n = jnp.where(dot(n, d)[..., None] > 0.0, -n, n)
         p_off = p + cfg.shadow_bias * n
+    if ao_mesh:
+        # mesh term of the DF-AO taps: closest hit along the shade normal
+        # within the tap range (static occlusion, like sh_vis)
+        cut = 5.0 * cfg.ao_step + cfg.shadow_bias
+        tm = _mesh_closest_t(scene, cfg, p_off, n, cut)
+        res["ao_tmesh"] = tm + cfg.shadow_bias  # distance measured from p
+    if cfg.shadow != "none":
         soft_diff = cfg.shadow == "soft" and cfg.diff_vis and _use_sdf(scene, method)
         vis_rows, ts_rows = [], []
 
@@ -381,12 +410,20 @@ def make_residual_occluder(scene: Scene, cfg: RenderConfig, res, method: str):
     return occluder
 
 
-def make_ao(scene: Scene, cfg: RenderConfig, method: str):
-    if cfg.ao == "none":
+def make_ao(scene: Scene, cfg: RenderConfig, res, method: str):
+    """5-tap DF AO callback. The SDF term is gated by scene CONTENT (an SDF
+    anywhere in the scene occludes); the mesh term by the ao_tmesh residual
+    (present when the traced method includes a non-empty mesh — see
+    geometry_residuals). Mixed scenes get both: mesh receives AO and casts
+    onto SDF surfaces and vice versa."""
+    if cfg.ao != "sdf5":
         return None
-    if cfg.ao == "sdf5" and scene.has_sdf:
-        return lambda p, n: shading.sdf_ambient_occlusion(sdf_distance, scene.sdf, p, n, cfg)
-    return None
+    t_mesh = res.get("ao_tmesh")
+    if not scene.has_sdf and t_mesh is None:
+        return None
+    sdf = scene.sdf if scene.has_sdf else None
+    return lambda p, n: shading.sdf_ambient_occlusion(
+        sdf_distance, sdf, p, n, cfg, t_mesh=t_mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +443,7 @@ def shade_with_residuals(scene: Scene, cfg: RenderConfig, o, d, res,
     """Differentiable shade of a flat ray batch from geometry residuals."""
     t, hit, p, n, mat, cov = reconstruct_hits(scene, cfg, o, d, res, method)
     occluder = make_residual_occluder(scene, cfg, res, method)
-    ao_fn = make_ao(scene, cfg, method)
+    ao_fn = make_ao(scene, cfg, res, method)
     return shading.shade(scene, cfg, p, n, d, mat, hit, occluder, ao_fn,
                          coverage=cov)
 

@@ -97,14 +97,25 @@ def sdf_soft_shadow_argmin(de_fn, sdf_scene, p, l_dir, cfg: RenderConfig,
     return clamp01(s), ts
 
 
-def sdf_ambient_occlusion(de_fn, sdf_scene, p, n, cfg: RenderConfig):
+def sdf_ambient_occlusion(de_fn, sdf_scene, p, n, cfg: RenderConfig,
+                          t_mesh=None):
     """5-tap distance-field AO: compare DE at fixed offsets along the normal
-    with the unoccluded distance; exponentially weighted (near taps dominate)."""
+    with the unoccluded distance; exponentially weighted (near taps dominate).
+
+    t_mesh: optional (R,) stop-grad closest MESH hit distance along n from p
+    (BIG on miss) — generalizes the distance-field taps to mixed/mesh scenes:
+    each tap's occluder distance becomes min(DE, |t_mesh - h|), so mesh
+    geometry above a surface point darkens it exactly like an SDF occluder at
+    the same height would (the tap profile of a plane). sdf_scene=None skips
+    the SDF term (pure-mesh AO)."""
     occ = jnp.zeros(p.shape[:-1], p.dtype)
     w = 1.0
     for i in range(1, 6):
         h = cfg.ao_step * i
-        d = de_fn(sdf_scene, p + h * n)
+        d = de_fn(sdf_scene, p + h * n) if sdf_scene is not None else None
+        if t_mesh is not None:
+            dm = jnp.abs(t_mesh - h)
+            d = dm if d is None else jnp.minimum(d, dm)
         occ = occ + w * (h - d)
         w *= 0.7
     return clamp01(1.0 - cfg.ao_strength * occ)
