@@ -34,9 +34,11 @@ def _prior_value(metric: str):
         if not m:
             continue
         try:
-            data = json.loads(open(path).read().strip().splitlines()[-1])
+            data = json.loads(open(path).read())
         except Exception:
             continue
+        if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]  # driver BENCH_r{N}.json wraps the line
         if data.get("metric") == metric and "value" in data:
             rnd = int(m.group(1))
             if best is None or rnd > best[0]:
