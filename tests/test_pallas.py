@@ -259,3 +259,28 @@ def test_knot1m_scene_streams():
     assert scene.grid is None  # with_packet: no CSR grid for huge meshes
     assert len(scene.packet) == 1
     assert packet_accel_bytes(scene.packet[0].num_tris) > VMEM_BUDGET_BYTES
+
+
+def test_packet_streamed_autosplit(monkeypatch):
+    """Oversize ray batches auto-split so the (nt, S) candidate array stays
+    under the SMEM scalar-prefetch budget (an unblocked large frame over a
+    mesh must not fail to compile). Forced tiny budget -> 2 sub-calls."""
+    import tpu_ray.kernels.pallas_mt as pm
+    from tpu_ray.accel.packet import build_packet_accel
+    from tpu_ray.kernels import moller_trumbore as mt
+    from tpu_ray.scene.mesh import MeshScene, torus_knot
+
+    monkeypatch.setattr(pm, "_SMEM_CAND_BUDGET", 4)  # one tile per sub-call
+    v, f = torus_knot(2, 3, 24, 24)
+    mesh = MeshScene.from_numpy(v, f, dtype=jnp.float32)
+    accel = build_packet_accel(v, f)
+    rng = np.random.default_rng(17)
+    o = jnp.asarray(rng.uniform(-3, 3, (1200, 3)), jnp.float32)
+    dd = rng.normal(size=(1200, 3))
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True), jnp.float32)
+    got = pm.intersect_packet_streamed(accel, o, d, interpret=True)
+    want = mt.intersect_brute(mesh, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=1e-5, atol=1e-6)

@@ -29,6 +29,11 @@ from tpu_ray.kernels.moller_trumbore import BIG, TriHit, _DET_EPS, _T_MIN
 TILE = (8, 128)
 TILE_RAYS = TILE[0] * TILE[1]
 
+# Scoped SMEM for scalar-prefetch operands is ~1 MB per core (measured on
+# v5e); the streamed kernel's (nt, S) int32 candidate array must stay well
+# under it — oversize ray batches auto-split (intersect_packet_streamed).
+_SMEM_CAND_BUDGET = 512 * 1024
+
 
 def _tileize(x):
     R = x.shape[0]
@@ -326,9 +331,29 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
     Unlike the resident kernel there is no per-call VMEM budget: scratch is
     2 slots x one super (16 chunks = 2048 triangles, ~136 KB), whatever the
     mesh size. Super AABBs (S x 128 f32) stay VMEM-resident for the re-test.
+
+    The per-tile candidate lists ride in SMEM ((nt, S) int32, scalar
+    prefetch), whose scoped budget is ~1 MB: batches whose nt x S would
+    overflow it are auto-split along the ray axis into sequential sub-calls
+    (e.g. an UNBLOCKED 1080p frame over a large mesh) — callers never see
+    the constraint.
     """
     if interpret is None:
         interpret = _use_interpret()
+    n_supers_ = accel.super_aabb.shape[0]
+    tiles_budget = _SMEM_CAND_BUDGET // (4 * n_supers_)
+    max_rays = max(tiles_budget, 1) * TILE_RAYS
+    if o.shape[0] > max_rays:
+        outs = []
+        for s in range(0, o.shape[0], max_rays):
+            outs.append(intersect_packet_streamed(
+                accel, o[s:s + max_rays], d[s:s + max_rays], t_max=t_max,
+                any_hit=any_hit,
+                t_init=None if t_init is None else t_init[s:s + max_rays],
+                interpret=interpret))
+        return TriHit(jnp.concatenate([r.t for r in outs]),
+                      jnp.concatenate([r.tri for r in outs]),
+                      jnp.concatenate([r.hit for r in outs]))
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     dtype = o.dtype
