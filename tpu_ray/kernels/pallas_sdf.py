@@ -31,6 +31,7 @@ import functools
 from typing import Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -73,7 +74,8 @@ def atan2_tile(y, x):
 # Distance field on component tiles
 # ---------------------------------------------------------------------------
 
-def _mandelbulb_de_tile(px, py, pz, power, iters: int):
+def _mandelbulb_de_tile(px, py, pz, power, iters: int,
+                        unroll: bool = False):
     """Mandelbulb DE for one instance on (8,128) component tiles; mirrors
     tpu_ray/sdf/mandelbulb.py (same masked-freeze escape semantics)."""
     r0 = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, _RMIN * _RMIN))
@@ -110,13 +112,18 @@ def _mandelbulb_de_tile(px, py, pz, power, iters: int):
         dr = jnp.where(live_nb, dr_new, dr)
         return zx, zy, zz, dr, r, live
 
-    _, _, _, dr, r, _ = jax.lax.fori_loop(
-        0, iters, body, (zx, zy, zz, dr, r0, live))
+    carry = (zx, zy, zz, dr, r0, live)
+    if unroll:  # required when the DE is differentiated INSIDE a kernel
+        for _ in range(iters):
+            carry = body(0, carry)
+        _, _, _, dr, r, _ = carry
+    else:
+        _, _, _, dr, r, _ = jax.lax.fori_loop(0, iters, body, carry)
     r = jnp.maximum(r, _RMIN)
     return 0.5 * jnp.log(r) * r / dr
 
 
-def de_tile(sdf: SdfScene, px, py, pz):
+def de_tile(sdf: SdfScene, px, py, pz, unroll: bool = False):
     """Scene distance on component tiles -> (8,128). Static loops over prims;
     mirrors tpu_ray/sdf/primitives.sdf_distance exactly (same op order)."""
     d = jnp.full(px.shape, BIG, px.dtype)
@@ -146,9 +153,11 @@ def de_tile(sdf: SdfScene, px, py, pz):
         if sdf.mb_pow8:
             # trig-free power-8 path — the same component-array function the
             # jnp field uses (tpu_ray/sdf/mandelbulb.py), so pallas == jnp exactly
-            di = mandelbulb_de_pow8_components(lx, ly, lz, sdf.mb_iters) * s
+            di = mandelbulb_de_pow8_components(lx, ly, lz, sdf.mb_iters,
+                                               unroll=unroll) * s
         else:
-            di = _mandelbulb_de_tile(lx, ly, lz, sdf.mb_power[i], sdf.mb_iters) * s
+            di = _mandelbulb_de_tile(lx, ly, lz, sdf.mb_power[i],
+                                     sdf.mb_iters, unroll=unroll) * s
         d = jnp.minimum(d, di)
     return d
 
@@ -174,7 +183,10 @@ def _flatten_sdf(sdf: SdfScene):
             if i in slots:
                 new_leaves.append(next(it))
             else:
-                new_leaves.append(jnp.zeros(shape, dtype) if dtype is not None else leaves[i])
+                # plain-numpy zeros: empty leaves must never become traced
+                # values — a (0, 3) vector type does not lower in Mosaic
+                # (only their .shape is read, to skip their prim loops)
+                new_leaves.append(np.zeros(shape, dtype) if dtype is not None else leaves[i])
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     return operands, rebuild

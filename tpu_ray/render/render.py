@@ -440,7 +440,22 @@ def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
 
 def shade_with_residuals(scene: Scene, cfg: RenderConfig, o, d, res,
                          method: str) -> jnp.ndarray:
-    """Differentiable shade of a flat ray batch from geometry residuals."""
+    """Differentiable shade of a flat ray batch from geometry residuals.
+
+    For the pure-SDF shade chain on TPU, the backward pass is the
+    hand-written fused Pallas kernel (kernels/pallas_shade.py) — the forward
+    value is the identical XLA computation either way."""
+    from tpu_ray.kernels import pallas_shade
+
+    if pallas_shade.applicable(scene, cfg, method, o.dtype):
+        f = pallas_shade.make_shade_sdf_vjp(cfg, method, _shade_xla)
+        return f(scene, o, d, res)
+    return _shade_xla(scene, cfg, o, d, res, method)
+
+
+def _shade_xla(scene: Scene, cfg: RenderConfig, o, d, res,
+               method: str) -> jnp.ndarray:
+    """The shade computation itself (XLA autodiff path / forward value)."""
     t, hit, p, n, mat, cov = reconstruct_hits(scene, cfg, o, d, res, method)
     occluder = make_residual_occluder(scene, cfg, res, method)
     ao_fn = make_ao(scene, cfg, res, method)

@@ -23,7 +23,8 @@ _BAILOUT = 4.0
 _RMIN = 1e-6
 
 
-def mandelbulb_de_pow8_components(px, py, pz, iters: int = 12):
+def mandelbulb_de_pow8_components(px, py, pz, iters: int = 12,
+                                  unroll: bool = False):
     """Trig-free power-8 Mandelbulb DE on same-shape component arrays.
 
     For the default integer power 8, z -> z^8 in spherical coordinates needs
@@ -77,8 +78,17 @@ def mandelbulb_de_pow8_components(px, py, pz, iters: int = 12):
         dr = jnp.where(live_nb, dr_new, dr)
         return zx, zy, zz, dr, r, live
 
-    _, _, _, dr, r, _ = jax.lax.fori_loop(
-        0, iters, body, (px, py, pz, one, r0, one))
+    carry = (px, py, pz, one, r0, one)
+    if unroll:
+        # static Python unroll: autodiff of this form is a flat elementwise
+        # chain — required INSIDE Pallas kernels that differentiate the DE
+        # (Mosaic cannot lower the scan a fori_loop VJP produces); identical
+        # math to the loop below
+        for _ in range(iters):
+            carry = body(0, carry)
+        _, _, _, dr, r, _ = carry
+    else:
+        _, _, _, dr, r, _ = jax.lax.fori_loop(0, iters, body, carry)
     r = jnp.maximum(r, _RMIN)
     return 0.5 * jnp.log(r) * r / dr
 
