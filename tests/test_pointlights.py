@@ -117,3 +117,40 @@ def test_pointlight_pallas_matches_jnp():
         a = np.asarray(render_image(scene, c.replace(pallas="off")))
         b = np.asarray(render_image(scene, c.replace(pallas="on")))
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_pointlight_pallas_occluder_beyond_light():
+    """ADVICE r2 (high): shadow_pallas must honor the per-ray t_far clamp —
+    a blocker BEYOND the point light must not darken the pallas render.
+    Checks pallas==jnp with the beyond-light blocker present, both modes."""
+    scene, cfg = build_scene("pointlight", dtype=jnp.float32)
+    cfg = cfg.replace(width=24, height=24, block_size=0)
+    lights = Lights.make([[0.0, 1.0, 0.0]], [[0.0, 0.0, 0.0]],
+                         ambient=(0.0, 0.0, 0.0), dtype=jnp.float32,
+                         positions=[[0.0, 1.0, 0.0]],
+                         pos_colors=[[3.0, 3.0, 3.0]])
+    base = scene.replace(
+        lights=lights,
+        sdf=scene.sdf.replace(  # ground plane only
+            sph_center=jnp.zeros((0, 3), jnp.float32),
+            sph_radius=jnp.zeros((0,), jnp.float32),
+            sph_mat=jnp.zeros((0,), jnp.int32),
+            box_center=jnp.zeros((0, 3), jnp.float32),
+            box_half=jnp.zeros((0, 3), jnp.float32),
+            box_round=jnp.zeros((0,), jnp.float32),
+            box_mat=jnp.zeros((0,), jnp.int32)))
+    blocked = base.replace(sdf=base.sdf.replace(
+        sph_center=jnp.asarray([[0.0, 4.0, 0.0]], jnp.float32),
+        sph_radius=jnp.asarray([0.5], jnp.float32),
+        sph_mat=jnp.asarray([0], jnp.int32)))
+    cy, cx = cfg.height // 2, cfg.width // 2
+    for shadow in ("hard", "soft"):
+        c = cfg.replace(shadow=shadow)
+        ref_img = np.asarray(render_image(blocked, c.replace(pallas="off")))
+        got = np.asarray(render_image(blocked, c.replace(pallas="on")))
+        np.testing.assert_allclose(got, ref_img, atol=2e-5)
+        # and the floor under the light is as lit as with no blocker at all
+        clean = np.asarray(render_image(base, c.replace(pallas="on")))
+        np.testing.assert_allclose(got[cy - 2:cy + 2, cx - 2:cx + 2],
+                                   clean[cy - 2:cy + 2, cx - 2:cx + 2],
+                                   atol=2e-5)

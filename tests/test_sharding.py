@@ -206,3 +206,35 @@ def test_ring_packet_mixed_scene_and_fit_step(mesh8):
     for k in params:
         np.testing.assert_allclose(np.asarray(p_ring[k]), np.asarray(p_rep[k]),
                                    atol=1e-12)
+
+
+def test_ring_packet_refits_moved_verts(mesh8):
+    """ADVICE r2: a vertex fit with scene_shards=True must intersect the
+    CURRENT geometry, not the frozen build-time ring accel. Step from verts
+    perturbed well past the build AABBs and compare loss + updates against
+    the single-device refit-accel oracle."""
+    import optax as _optax
+
+    from tpu_ray.fit import make_fit_step
+
+    mesh4 = make_mesh(jax.devices()[:4])
+    scene, cfg = build_scene("triangles", dtype=jnp.float64)
+    scene = scene.with_grid()
+    cfg = cfg.replace(width=12, height=12, block_size=0, pallas="on",
+                      method="mesh_grid")
+    target = render_image(scene, cfg) + 0.05
+    params = extract_params(scene, ["mesh.verts"])
+    # move every vert far enough to change hits vs the build-time accel
+    rng = np.random.default_rng(3)
+    params["mesh.verts"] = params["mesh.verts"] + jnp.asarray(
+        rng.normal(size=params["mesh.verts"].shape) * 0.2)
+    opt = _optax.sgd(1e-3)
+    st = opt.init(params)
+    p_one, _, l_one = make_fit_step(scene.replace(grid=None), cfg, target,
+                                    opt, refit_accel=True)(params, st)
+    ring = make_sharded_fit_step(scene, cfg, target, opt, mesh4,
+                                 scene_shards=True)
+    p_ring, _, l_ring = ring(params, st)
+    np.testing.assert_allclose(float(l_ring), float(l_one), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p_ring["mesh.verts"]),
+                               np.asarray(p_one["mesh.verts"]), atol=1e-10)

@@ -165,6 +165,24 @@ def ring_local(ring: RingPacket) -> RingPacket:
                         super_aabb=sq(ring.super_aabb), perm=sq(ring.perm))
 
 
+def refit_ring_packet(ring: RingPacket, verts, tris) -> RingPacket:
+    """Recompute a LOCAL ring shard's corners + AABBs from CURRENT vertex
+    positions (ADVICE r2: vertex fits with scene_shards=True must not
+    intersect frozen build-time geometry). Pure jnp — runs inside the jitted
+    fit step, before the ring rotation starts, so every ppermute'd shard is
+    already refit. `ring` must be a per-device local shard (after
+    ring_local); `perm` holds GLOBAL tri ids, so the packet refit applies
+    verbatim."""
+    from tpu_ray.accel.packet import PacketAccel, refit_packet_accel
+
+    view = PacketAccel(corners=ring.corners, chunk_aabb=ring.chunk_aabb,
+                       super_aabb=ring.super_aabb, perm=ring.perm,
+                       num_tris=ring.perm.shape[0])
+    new = refit_packet_accel(view, verts, tris)
+    return ring.replace(corners=new.corners, chunk_aabb=new.chunk_aabb,
+                        super_aabb=new.super_aabb)
+
+
 def intersect_ring_packet(ring: RingPacket, o, d, t_max: float = BIG,
                           any_hit: bool = False, sort_origin=None,
                           sort_dir=None, interpret=None) -> TriHit:
@@ -174,21 +192,33 @@ def intersect_ring_packet(ring: RingPacket, o, d, t_max: float = BIG,
     triangle shards). The running best t seeds each step's kernel (t_init),
     so later shards slab-cull everything beyond hits already found. Call
     inside shard_map over ring.axis; returns GLOBAL triangle ids."""
-    from tpu_ray.accel.packet import PacketAccel
-    from tpu_ray.kernels.pallas_mt import intersect_packet
+    from tpu_ray.accel.packet import VMEM_BUDGET_BYTES, PacketAccel
+    from tpu_ray.kernels.pallas_mt import intersect_packet, intersect_packet_streamed
 
     n = ring.n_shards
     perm_pairs = [(i, (i + 1) % n) for i in range(n)]
     shard = (ring.corners, ring.chunk_aabb, ring.super_aabb, ring.perm)
+    # a 1/N shard can still exceed the VMEM-resident kernel's budget (ring
+    # sharding exists precisely for huge meshes) — route oversized shards
+    # through the HBM-streamed kernel, whose per-tile candidate lists subsume
+    # the sort hints (ADVICE r2)
+    shard_bytes = (ring.corners.size + ring.chunk_aabb.size
+                   + ring.super_aabb.size) * 4
+    streamed = shard_bytes > VMEM_BUDGET_BYTES
     best = None
     t_run = None
     for step in range(n):
         accel = PacketAccel(corners=shard[0], chunk_aabb=shard[1],
                             super_aabb=shard[2], perm=shard[3],
                             num_tris=shard[3].shape[0])
-        res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
-                               sort_origin=sort_origin, sort_dir=sort_dir,
-                               t_init=t_run, interpret=interpret)
+        if streamed:
+            res = intersect_packet_streamed(accel, o, d, t_max=t_max,
+                                            any_hit=any_hit, t_init=t_run,
+                                            interpret=interpret)
+        else:
+            res = intersect_packet(accel, o, d, t_max=t_max, any_hit=any_hit,
+                                   sort_origin=sort_origin, sort_dir=sort_dir,
+                                   t_init=t_run, interpret=interpret)
         if best is None:
             best = res
         elif any_hit:

@@ -155,11 +155,27 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
     )
     def loss_and_grad(params, ring_blk, xs, ys, t, wt):
         def local_loss(params_):
-            s = _maybe_refit(apply_params(scene, params_), refit_accel)
-            if ring_blk is not None:
-                from tpu_ray.dist.scene_shard import ring_local
+            s = apply_params(scene, params_)
+            if s.poses is not None:
+                # fold object poses into world verts BEFORE the ring refit so
+                # the accel shards track the posed geometry
+                from tpu_ray.scene.transform import realize_scene
 
-                s = s.replace(ring=ring_local(ring_blk))
+                s = realize_scene(s)
+            s = _maybe_refit(s, refit_accel)
+            if ring_blk is not None:
+                from tpu_ray.dist.scene_shard import ring_local, refit_ring_packet
+
+                r = ring_local(ring_blk)
+                moving_mesh = refit_accel or any(
+                    k.split(".")[0] == "mesh" for k in params_)
+                if moving_mesh:
+                    # vertex fits: refit this device's accel shard to the
+                    # CURRENT verts before the ring rotation starts (ADVICE
+                    # r2 — otherwise the geometry pass intersects frozen
+                    # build-time geometry while verts move)
+                    r = refit_ring_packet(r, s.mesh.verts, s.mesh.tris)
+                s = s.replace(ring=r)
             px = render_pixels_flat(s, cfg, xs, ys, method)  # (3, px_shard)
             return jnp.sum(wt[None, :] * (px - t) ** 2) / denom
 
@@ -196,6 +212,13 @@ def fit(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
         scene = scene.replace(sdf=scene.sdf.replace(mb_pow8=False))
 
     refit_accel = False
+    if any(p.split(".")[0] == "poses" for p in trainable):
+        # object-pose fits: transform.realize_scene (called at render entry)
+        # folds poses into world verts and refits the packet accel in-jit
+        # every step; the host-built grid cannot follow and is dropped
+        scene = scene.replace(grid=None)
+        if scene.packet is None and cfg.method == "mesh_grid":
+            cfg = cfg.replace(method="mesh_brute")
     if any(p.split(".")[0] == "mesh" for p in trainable):
         # vertex positions are being optimized: the grid was voxelized from
         # the INITIAL vertices and would go stale as vertices move. The

@@ -370,11 +370,11 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
 
             def cond(carry):
                 step, t, s, ts = carry
-                return (step < steps) & jnp.any(t < t_far)
+                return (step < steps) & jnp.any(t < t_far_k)
 
             def body(carry):
                 step, t, s, ts = carry
-                active = t < t_far
+                active = t < t_far_k
                 dd = de_tile(sdf_k, px + t * lx, py + t * ly, pz + t * lz)
                 s_new = soft_k * dd / jnp.maximum(t, bias)
                 better = active & (s_new < s)
@@ -392,12 +392,12 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
 
             def cond(carry):
                 step, t, blocked = carry
-                active = (blocked < 0.5) & (t < t_far)
+                active = (blocked < 0.5) & (t < t_far_k)
                 return (step < steps) & jnp.any(active)
 
             def body(carry):
                 step, t, blocked = carry
-                active = (blocked < 0.5) & (t < t_far)
+                active = (blocked < 0.5) & (t < t_far_k)
                 dd = de_tile(sdf_k, px + t * lx, py + t * ly, pz + t * lz)
                 blocked = jnp.maximum(blocked, (active & (dd < eps)).astype(dtype))
                 t = jnp.where(active, t + jnp.maximum(dd, eps * 0.5), t)
