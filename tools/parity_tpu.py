@@ -153,6 +153,82 @@ def main():
     terr = np.abs(np.asarray(got.t)[h_] - np.asarray(want.t)[h_])
     record("packet_streamed_vs_brute", hit_eq and float(terr.max()) < 1e-3,
            {"hit_equal": hit_eq, "t_max_err": float(terr.max())})
+    # streamed ANY-HIT (shadow-ray path; VERDICT r2 item 3): blocked set must
+    # equal brute's, and 0-seeded rays (already-decided shadows) stay culled
+    got_ah = intersect_packet_streamed(accel, o, d, any_hit=True,
+                                       interpret=not on_tpu)
+    ah_eq = bool((np.asarray(got_ah.hit) == np.asarray(want.hit)).all())
+    seed0 = jnp.where(want.hit, 0.0, jnp.full_like(got.t, mt.BIG))
+    got_ah2 = intersect_packet_streamed(accel, o, d, any_hit=True,
+                                        t_init=seed0, interpret=not on_tpu)
+    # seeded: previously-blocked rays keep reporting blocked via the caller's
+    # fold; here just require no NEW hits appear among true misses
+    new_false = bool((np.asarray(got_ah2.hit) & ~np.asarray(want.hit)).any())
+    record("packet_streamed_any_hit", ah_eq and not new_false,
+           {"hit_equal": ah_eq, "false_new_hits": new_false})
+
+    # --- fused Pallas backward vs XLA autodiff, on chip -----------------------
+    # (VERDICT r2 item 3: shade_bwd cotangents were interpret-mode-only; a
+    # Mosaic lowering bug in the backward would ship into BENCH unseen)
+    import tpu_ray.render.render as rr
+    from tpu_ray.fit import apply_params, extract_params
+    from tpu_ray.kernels import pallas_shade
+    from tpu_ray.render.camera import generate_rays
+
+    def shade_grad_check(tag, scene, cfg, groups, width=24, rel_tol=1e-3):
+        cfg = cfg.replace(width=width, height=width, spp=1, block_size=0,
+                          diff_vis=False, pallas="on")
+        method = rr.resolve_method(scene, cfg)
+        if not pallas_shade.applicable(scene, cfg, method, jnp.float32):
+            record(f"shade_bwd_{tag}", False, {"applicable": False})
+            return
+        sx, sy = rr.pixel_sample_coords(cfg, jnp.float32)
+        o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(),
+                             width, width)
+        res = rr.geometry_residuals(scene, cfg, o, d, method)
+        params = extract_params(scene, groups)
+
+        def loss(fn, pp):
+            s = apply_params(scene, pp)
+            oo, dd = generate_rays(s.camera, sx.ravel(), sy.ravel(),
+                                   width, width)
+            return jnp.mean(fn(s, cfg, oo, dd, res, method) ** 2)
+
+        gk = jax.jit(jax.grad(
+            lambda pp: loss(rr.shade_with_residuals, pp)))(params)
+        gx = jax.jit(jax.grad(lambda pp: loss(rr._shade_xla, pp)))(params)
+        worst = ("", 0.0)
+        for k in gk:
+            a, b = np.asarray(gk[k]), np.asarray(gx[k])
+            rel = float(np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+            if rel > worst[1]:
+                worst = (k, rel)
+        record(f"shade_bwd_{tag}", worst[1] < rel_tol,
+               {"worst_group": worst[0], "worst_rel": worst[1]})
+
+    groups_base = ["materials.albedo", "lights.color", "lights.direction",
+                   "lights.ambient", "camera.origin", "camera.look_at"]
+    s1, c1 = build_scene("sphere")
+    shade_grad_check("sphere", s1, c1,
+                     groups_base + ["sdf.sph_radius", "sdf.sph_center"])
+    s2, c2 = build_scene("triangles")
+    shade_grad_check("mesh", s2, c2, groups_base + ["mesh.verts"])
+    s3, c3 = build_scene("triangles")
+    s3 = s3.replace(sdf=s3.sdf.replace(
+        sph_center=jnp.asarray([[0.4, 0.8, 0.3]], jnp.float32),
+        sph_radius=jnp.asarray([0.62], jnp.float32),
+        sph_mat=jnp.asarray([1], jnp.int32)))
+    shade_grad_check("mixed", s3, c3.replace(method="mixed"),
+                     groups_base + ["mesh.verts", "sdf.sph_radius",
+                                    "sdf.sph_center"])
+    s4, c4 = build_scene("pointlight")
+    shade_grad_check("pointlight", s4, c4,
+                     groups_base + ["lights.position", "lights.pos_color",
+                                    "sdf.sph_radius", "sdf.box_center"])
+    s5, c5 = build_scene("mixed")  # the HEADLINE scene's exact chain (70k tris)
+    shade_grad_check("mixed_headline", s5, c5,
+                     groups_base + ["mesh.verts", "sdf.mb_scale"],
+                     width=32, rel_tol=5e-2)
 
     # --- small frame goldens vs the scalar CPU oracle ------------------------
     for name in ("sphere", "pointlight", "mandelbulb", "mixed"):

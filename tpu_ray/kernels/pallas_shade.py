@@ -1,21 +1,32 @@
-"""Hand-written Pallas backward kernel for the fused SDF shade path.
+"""Hand-written Pallas backward kernel for the fused shade path.
 
 The north-star structure (BASELINE.json north_star "Pallas kernels with a
 hand-derived backward pass"; reference hot loop trace.cpp per SURVEY.md §2
-#13): the forward march runs once and emits compact residuals (t, hit,
-shadow visibility — tpu_ray/render/render.py geometry_residuals); the
-differentiable shade reconstructs color from them. This module replaces the
-XLA-autodiff backward of that reconstruction with ONE fused Pallas kernel:
-per (8,128) ray tile it recomputes the shade chain in registers from the
-residuals — IFT hit attach, ∇DE normal, DF-AO taps, Lambert — and applies
-the exact vector-Jacobian pullback in-tile, accumulating parameter
-cotangents across the grid and writing per-ray (o, d) cotangents for the
-camera chain. No shade intermediate ever round-trips HBM, and the albedo
-gather's backward becomes masked sums (no scatter).
+#13): the forward geometry pass runs once and emits compact residuals (march
+t, selected triangle, shadow visibility — tpu_ray/render/render.py
+geometry_residuals); the differentiable shade reconstructs color from them.
+This module replaces the XLA-autodiff backward of that reconstruction with
+ONE fused Pallas kernel: per (8,128) ray tile it recomputes the shade chain
+in registers from the residuals — IFT hit attach, ∇DE normal, the selected
+triangle's Möller–Trumbore re-solve, closest-select, DF-AO taps, Lambert with
+directional AND point lights — and applies the exact vector-Jacobian pullback
+in-tile, accumulating parameter cotangents across the grid and writing
+per-ray cotangents for the camera chain (o, d) and the selected triangle's
+corners (scattered into vertex gradients outside the kernel — gather/scatter
+stays in XLA where it belongs; the dense per-ray math stays in VMEM). No
+shade intermediate ever round-trips HBM, and the albedo gather's backward
+becomes masked sums (no scatter).
+
+Round 3 (VERDICT r2 item 1) widened coverage from pure-SDF/directional to the
+FULL static-visibility shade family: methods sdf / mesh_brute / mesh_grid /
+mixed, point lights (inverse-square falloff, differentiable positions),
+mesh-aware DF-AO (ao_tmesh residual taps). Still excluded (XLA fallback):
+diff_vis soft-shadow penumbra recompute, soft silhouettes, f64.
 
 The forward stays the existing XLA path (bit-identical images); only the
 backward is replaced, via jax.custom_vjp. Gradients are exact up to FP
-reassociation — gated by tests against jax.grad of the XLA path.
+reassociation — gated by tests against jax.grad of the XLA path (CPU
+interpret mode) and by the on-chip parity gate (tools/parity_tpu.py).
 
 The gradient math mirrors, term for term:
   * kernels/sphere_trace.make_ift_attach — t is written as the value-
@@ -23,9 +34,14 @@ The gradient math mirrors, term for term:
     the IFT pullback (-∂DE/∂inputs / (dDE/dt), zero for misses);
   * kernels/sphere_trace.surface_normal — n = ∇p DE / max(‖·‖, 1e-12),
     differentiable (the outer VJP carries the DE Hessian term);
-  * render/shading.shade — two-sided flip, 5-tap DF AO, directional
-    Lambert with static (stop-grad) shadow visibility, albedo select,
-    sky-gradient background for misses.
+  * kernels/moller_trumbore.recompute_hit — t/normal of the SELECTED
+    triangle re-solved from its gathered corners (differentiable w.r.t.
+    corners, o, d; the discrete selection is the stop-grad residual);
+  * render/render.reconstruct_hits (mixed) — closest-select between the two
+    branches by the stop-grad sdf_closer mask;
+  * render/shading.shade — two-sided flip, 5-tap DF AO (SDF term and/or the
+    |t_mesh - h| mesh term), directional + point-light Lambert with static
+    (stop-grad) shadow visibility, albedo select, sky-gradient background.
 """
 
 from __future__ import annotations
@@ -41,89 +57,192 @@ from tpu_ray.kernels.pallas_sdf import (TILE, _flatten_sdf, _full_spec,
                                         de_tile)
 
 _DENOM_MIN = 1e-6  # mirrors kernels/sphere_trace._DENOM_MIN
+_DET_EPS = 1e-10  # mirrors kernels/moller_trumbore._DET_EPS
+_BIG = 1e10
+
+
+def _spec(scene, cfg, method: str):
+    """Static shape of the shade chain (what the kernel must recompute)."""
+    use_sdf = method in ("sdf", "mixed") and scene.has_sdf
+    use_mesh = (method in ("mesh_brute", "mesh_grid", "mixed")
+                and scene.has_mesh)
+    return {
+        "use_sdf": use_sdf,
+        "use_mesh": use_mesh,
+        "mixed": use_sdf and use_mesh,
+        # AO's SDF term is gated by scene CONTENT (render.make_ao); its mesh
+        # term by the ao_tmesh residual (present when the method traces a
+        # non-empty mesh)
+        "ao_sdf": cfg.ao == "sdf5" and scene.has_sdf,
+        "ao_mesh": cfg.ao == "sdf5" and use_mesh,
+        "n_dir": scene.lights.direction.shape[0],
+        "n_pos": scene.lights.position.shape[0],
+        "shadows": cfg.shadow != "none",
+    }
 
 
 def applicable(scene, cfg, method: str, dtype) -> bool:
-    """Pallas-backward gate: the pure-SDF shade chain it implements.
+    """Pallas-backward gate: the static-visibility shade chains it implements
+    (VERDICT r2 item 1: includes mixed/mesh and point lights).
 
-    Everything else (mixed/mesh methods, diff_vis soft shadows, soft
-    silhouettes, point lights, f64) falls back to XLA autodiff.
+    Everything else (diff_vis soft-shadow penumbra, soft silhouettes, f64,
+    non-Pallas backends) falls back to XLA autodiff.
     """
     from tpu_ray.render.render import use_pallas
 
-    return (method == "sdf"
-            and scene.has_sdf
-            and use_pallas(cfg, dtype)
+    s = _spec(scene, cfg, method)
+    if not (s["use_sdf"] or s["use_mesh"]):
+        return False
+    if method == "mixed" and not (s["use_sdf"] and s["use_mesh"]):
+        return False
+    return (use_pallas(cfg, dtype)
             and dtype == jnp.float32
-            and not cfg.diff_vis
+            and not (cfg.shadow == "soft" and cfg.diff_vis)
             and cfg.soft_silhouette <= 0.0
             and cfg.ao in ("none", "sdf5")
-            and scene.lights.direction.shape[0] > 0
-            and scene.lights.position.shape[0] == 0)
+            and s["n_dir"] + s["n_pos"] > 0)
 
 
-def _local_shade(cfg, rebuild, t_bar, hit_f, mat_f, vis_rows,
-                 ops, albedo, ldir, lcol, amb, bgt, bgb,
-                 ox, oy, oz, dx, dy, dz):
+def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
     """Tile-level shade: the differentiable function the kernel VJPs.
 
-    All ray-shaped values are (8,128) component tiles; t_bar/hit_f/mat_f/
-    vis_rows are stop-gradient residual tiles (closed over, not diff args).
-    Mirrors render.reconstruct_hits (sdf branch) + shading.shade exactly.
+    resid: dict of stop-gradient residual tiles (closed over, not diff args);
+    ops/prm/rays: the differentiable leaves — sdf operand arrays, small
+    parameter arrays (albedo/lights/bg), and per-ray component tiles
+    (ox..dz and, with a mesh, the selected triangle's 9 corner components).
+    Mirrors render.reconstruct_hits + shading.shade exactly.
     """
-    sdf = rebuild(ops)
     sg = jax.lax.stop_gradient
-    # leave zero-size leaves as plain numpy (stop_gradient would trace them;
-    # Mosaic cannot carry 0-extent constants)
-    sdf_sg = jax.tree_util.tree_map(
-        lambda x: sg(x) if (hasattr(x, "dtype") and x.size > 0) else x, sdf)
+    ox, oy, oz, dx, dy, dz = rays[:6]
+    zero = ox * 0.0
 
-    # p̄ = o + t̄ d  (t̄ stop-grad; o/d differentiable for the camera chain)
-    bx = ox + t_bar * dx
-    by = oy + t_bar * dy
-    bz = oz + t_bar * dz
+    # --- SDF branch: IFT t + ∇DE normal (render._sdf_from_res) -------------
+    if spec["use_sdf"]:
+        sdf = rebuild(ops)
+        sdf_sg = jax.tree_util.tree_map(
+            lambda x: sg(x) if (hasattr(x, "dtype") and x.size > 0) else x, sdf)
+        t_bar, hs_f = resid["t_bar"], resid["hs_f"]
 
-    # stop-grad denominator dDE/dt = <∇DE(p̄), d> (sphere_trace attach's JVP)
-    _, pb = jax.vjp(lambda x, y, z: de_tile(sdf_sg, x, y, z, unroll=True),
-                    sg(bx), sg(by), sg(bz))
-    gx, gy, gz = pb(jnp.ones_like(t_bar))
-    denom = gx * sg(dx) + gy * sg(dy) + gz * sg(dz)
-    denom_safe = jnp.where(jnp.abs(denom) < _DENOM_MIN,
-                           jnp.where(denom < 0, -_DENOM_MIN, _DENOM_MIN),
-                           denom)
+        # p̄ = o + t̄ d  (t̄ stop-grad; o/d differentiable for the camera chain)
+        bx = ox + t_bar * dx
+        by = oy + t_bar * dy
+        bz = oz + t_bar * dz
+        # stop-grad denominator dDE/dt = <∇DE(p̄), d> (sphere_trace attach)
+        _, pb = jax.vjp(lambda x, y, z: de_tile(sdf_sg, x, y, z, unroll=True),
+                        sg(bx), sg(by), sg(bz))
+        gx, gy, gz = pb(jnp.ones_like(t_bar))
+        denom = gx * sg(dx) + gy * sg(dy) + gz * sg(dz)
+        denom_safe = jnp.where(jnp.abs(denom) < _DENOM_MIN,
+                               jnp.where(denom < 0, -_DENOM_MIN, _DENOM_MIN),
+                               denom)
+        # IFT value-identity: value t̄, gradient -∂DE/∂(θ,o,d)/(dDE/dt) on hits
+        de_val = de_tile(sdf, bx, by, bz, unroll=True)
+        ts = t_bar - hs_f * (de_val - sg(de_val)) / sg(denom_safe)
+    else:
+        sdf = None
 
-    # IFT value-identity: value t̄, gradient -∂DE/∂(θ,o,d) / (dDE/dt) on hits
-    de_val = de_tile(sdf, bx, by, bz, unroll=True)
-    t = t_bar - hit_f * (de_val - sg(de_val)) / sg(denom_safe)
+    # --- Mesh branch: MT re-solve of the selected triangle -----------------
+    # (moller_trumbore.recompute_hit on component tiles; corners are the
+    # differentiable per-ray gathered values, scattered to verts outside)
+    if spec["use_mesh"]:
+        hm_f = resid["hm_f"]
+        (v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = rays[6:15]
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_safe = jnp.where(jnp.abs(det) > _DET_EPS, det,
+                             jnp.where(det >= 0, _DET_EPS, -_DET_EPS))
+        inv_det = 1.0 / det_safe
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        tm = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        tm = jnp.where(hm_f > 0.5, tm, _BIG)  # render._mesh_from_res
+        # geometric normal normalize(cross(e1, e2)) (math3d.normalize)
+        cnx = e1y * e2z - e1z * e2y
+        cny = e1z * e2x - e1x * e2z
+        cnz = e1x * e2y - e1y * e2x
+        cinv = 1.0 / jnp.sqrt(jnp.maximum(cnx * cnx + cny * cny + cnz * cnz,
+                                          1e-12))
+        nmx, nmy, nmz = cnx * cinv, cny * cinv, cnz * cinv
+
+    # --- closest-select (render.reconstruct_hits mixed) --------------------
+    if spec["mixed"]:
+        closer = resid["closer_f"] > 0.5  # stop-grad select mask
+        t = jnp.where(closer, ts, tm)
+        hit_f = jnp.maximum(resid["hs_f"], resid["hm_f"])
+    elif spec["use_sdf"]:
+        t = ts
+        hit_f = resid["hs_f"]
+    else:
+        t = tm
+        hit_f = resid["hm_f"]
 
     px = ox + t * dx
     py = oy + t * dy
     pz = oz + t * dz
 
-    # differentiable normal = ∇p DE / max(‖·‖, 1e-12) (surface_normal)
-    _, pb2 = jax.vjp(lambda x, y, z: de_tile(sdf, x, y, z, unroll=True), px, py, pz)
-    nx, ny, nz = pb2(jnp.ones_like(t_bar))
-    inv = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-12))
-    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    if spec["use_sdf"]:
+        # differentiable normal = ∇p DE / max(‖·‖, 1e-12) (surface_normal);
+        # evaluated at the SELECTED hit point, exactly like the XLA chain
+        # (whose _sdf_from_res normal uses p_s = o + ts d — identical to the
+        # selected p on sdf-closer lanes, and unused on mesh-closer lanes)
+        if spec["mixed"]:
+            spx = ox + ts * dx
+            spy = oy + ts * dy
+            spz = oz + ts * dz
+        else:
+            spx, spy, spz = px, py, pz
+        _, pb2 = jax.vjp(lambda x, y, z: de_tile(sdf, x, y, z, unroll=True),
+                         spx, spy, spz)
+        nsx, nsy, nsz = pb2(jnp.ones_like(t))
+        inv = 1.0 / jnp.sqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz,
+                                         1e-12))
+        nsx, nsy, nsz = nsx * inv, nsy * inv, nsz * inv
+
+    if spec["mixed"]:
+        nx = jnp.where(closer, nsx, nmx)
+        ny = jnp.where(closer, nsy, nmy)
+        nz = jnp.where(closer, nsz, nmz)
+    elif spec["use_sdf"]:
+        nx, ny, nz = nsx, nsy, nsz
+    else:
+        nx, ny, nz = nmx, nmy, nmz
+
     # two-sided: face against the incoming ray (shading.shade)
     flip = jnp.where(nx * dx + ny * dy + nz * dz > 0.0, -1.0, 1.0)
     nx, ny, nz = nx * flip, ny * flip, nz * flip
 
-    # 5-tap distance-field AO (shading.sdf_ambient_occlusion, SDF term only)
-    if cfg.ao == "sdf5":
-        occ = jnp.zeros_like(t_bar)
+    # 5-tap distance-field AO (shading.sdf_ambient_occlusion; the mesh term
+    # is the stop-grad ao_tmesh residual: occluder distance |t_mesh - h|)
+    if spec["ao_sdf"] or spec["ao_mesh"]:
+        t_mesh = resid.get("ao_tmesh")
+        occ = zero
         w = 1.0
         for i in range(1, 6):
             h = cfg.ao_step * i
-            dd = de_tile(sdf, px + h * nx, py + h * ny, pz + h * nz, unroll=True)
+            dd = None
+            if spec["ao_sdf"]:
+                dd = de_tile(sdf, px + h * nx, py + h * ny, pz + h * nz,
+                             unroll=True)
+            if spec["ao_mesh"] and t_mesh is not None:
+                dm = jnp.abs(t_mesh - h)
+                dd = dm if dd is None else jnp.minimum(dd, dm)
             occ = occ + w * (h - dd)
             w *= 0.7
         ao = jnp.clip(1.0 - cfg.ao_strength * occ, 0.0, 1.0)
     else:
-        ao = jnp.ones_like(t_bar)
+        ao = zero + 1.0
 
+    amb = prm["ambient"]
     rad = [amb[c] * ao for c in range(3)]
-    for li in range(ldir.shape[0]):
+    vis_rows = resid["vis_rows"]
+    for li in range(spec["n_dir"]):
+        ldir, lcol = prm["ldir"], prm["lcol"]
         lx, ly, lz = ldir[li, 0], ldir[li, 1], ldir[li, 2]
         ln = jnp.sqrt(lx * lx + ly * ly + lz * lz)  # math3d.normalize (no eps)
         lx, ly, lz = lx / ln, ly / ln, lz / ln
@@ -131,11 +250,26 @@ def _local_shade(cfg, rebuild, t_bar, hit_f, mat_f, vis_rows,
         term = ndotl * vis_rows[li]  # static visibility residual
         for c in range(3):
             rad[c] = rad[c] + lcol[li, c] * term
+    for pi in range(spec["n_pos"]):
+        # point light: per-ray direction from the DIFFERENTIABLE hit point,
+        # inverse-square falloff (shading.shade point-light loop)
+        lpos, lpcol = prm["lpos"], prm["lpcol"]
+        lvx = lpos[pi, 0] - px
+        lvy = lpos[pi, 1] - py
+        lvz = lpos[pi, 2] - pz
+        dist2 = lvx * lvx + lvy * lvy + lvz * lvz
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        ndotl = jnp.maximum((nx * lvx + ny * lvy + nz * lvz) / dist, 0.0)
+        falloff = ndotl * vis_rows[spec["n_dir"] + pi] / jnp.maximum(dist2, 1e-8)
+        for c in range(3):
+            rad[c] = rad[c] + lpcol[pi, c] * falloff
 
+    albedo, bgt, bgb = prm["albedo"], prm["bg_top"], prm["bg_bottom"]
+    mat_f = resid["mat_f"]
     out = []
     s_bg = 0.5 * (dy + 1.0)  # sky gradient (types.background_color)
     for c in range(3):
-        alb = jnp.zeros_like(t_bar)
+        alb = zero
         for m in range(albedo.shape[0]):  # gather -> masked sum (no scatter)
             alb = alb + jnp.where(mat_f == float(m), albedo[m, c], 0.0)
         color = alb * rad[c]
@@ -144,29 +278,66 @@ def _local_shade(cfg, rebuild, t_bar, hit_f, mat_f, vis_rows,
     return tuple(out)
 
 
-def shade_bwd_pallas(scene, cfg, o, d, res, mat, ct, method: str,
-                     interpret: bool | None = None):
-    """One fused backward kernel: cotangents of the SDF shade chain.
+# parameter packing order (small differentiable operands after the sdf ops)
+_PARAM_KEYS = ("albedo", "ldir", "lcol", "ambient", "bg_top", "bg_bottom",
+               "lpos", "lpcol")
 
-    Inputs: primal rays o/d (R,3), geometry residuals, stop-grad material
-    ids (R,), upstream color cotangent ct (R,3). Returns
-    (d_sdf_ops list, d_albedo, d_ldir, d_lcol, d_ambient, d_bg_top,
-    d_bg_bottom, d_o, d_d).
+
+def _param_arrays(scene, dtype):
+    vals = {"albedo": scene.materials.albedo,
+            "ldir": scene.lights.direction,
+            "lcol": scene.lights.color,
+            "ambient": scene.lights.ambient,
+            "bg_top": scene.bg_top,
+            "bg_bottom": scene.bg_bottom,
+            "lpos": scene.lights.position,
+            "lpcol": scene.lights.pos_color}
+    # zero-size leaves must never become kernel operands (Mosaic cannot lower
+    # 0-extent vectors) — they are skipped and get zero cotangents host-side
+    keys = [k for k in _PARAM_KEYS if vals[k].size > 0]
+    return keys, [jnp.asarray(vals[k], dtype) for k in keys]
+
+
+def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
+                     interpret: bool | None = None):
+    """One fused backward kernel: cotangents of the static-visibility shade
+    chain (sdf / mesh / mixed).
+
+    Inputs: primal rays o/d (R,3), geometry residuals `res`, stop-grad aux
+    residuals from the forward ({mat, closer?, v0..v2 corners?}), upstream
+    color cotangent ct (R,3). Returns (d_sdf_ops list, d_params dict,
+    d_o, d_d, d_corners (R,9) or None).
     """
     if interpret is None:
         interpret = _use_interpret()
     dtype = o.dtype
-    n_lights = scene.lights.direction.shape[0]
-    have_vis = "sh_vis" in res and cfg.shadow != "none"
+    spec = _spec(scene, cfg, method)
+    n_lights = spec["n_dir"] + spec["n_pos"]
+    have_vis = spec["shadows"] and "sh_vis" in res
 
-    ray_cols = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                jax.lax.stop_gradient(res["sdf_t"]).astype(dtype),
-                res["sdf_hit"].astype(dtype),
-                mat.astype(dtype)]
+    sg = jax.lax.stop_gradient
+    ray_cols = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
+    if spec["use_mesh"]:
+        corners = aux["corners"]  # (R, 9) selected-triangle v0/v1/v2 xyz
+        ray_cols += [corners[:, k] for k in range(9)]
+    resid_cols = {}
+    if spec["use_sdf"]:
+        resid_cols["t_bar"] = sg(res["sdf_t"]).astype(dtype)
+        resid_cols["hs_f"] = res["sdf_hit"].astype(dtype)
+    if spec["use_mesh"]:
+        resid_cols["hm_f"] = res["mesh_hit"].astype(dtype)
+    if spec["mixed"]:
+        resid_cols["closer_f"] = aux["closer"].astype(dtype)
+    resid_cols["mat_f"] = aux["mat"].astype(dtype)
+    if spec["ao_mesh"] and "ao_tmesh" in res:
+        resid_cols["ao_tmesh"] = sg(res["ao_tmesh"]).astype(dtype)
+    resid_keys = list(resid_cols)
+    ray_cols += [resid_cols[k] for k in resid_keys]
     for li in range(n_lights):
-        ray_cols.append(jax.lax.stop_gradient(res["sh_vis"][li]).astype(dtype)
+        ray_cols.append(sg(res["sh_vis"][li]).astype(dtype)
                         if have_vis else jnp.ones_like(ray_cols[0]))
     ray_cols += [ct[:, 0], ct[:, 1], ct[:, 2]]
+
     tiles = []
     R = nt = None
     for c in ray_cols:
@@ -181,15 +352,11 @@ def shade_bwd_pallas(scene, cfg, o, d, res, mat, ct, method: str,
         ).reshape(nt * TILE[0], TILE[1])
         tiles[-3:] = [tc * pad_mask for tc in tiles[-3:]]
     n_ray_ops = len(tiles)
+    n_geom = 6 + (9 if spec["use_mesh"] else 0)  # differentiable ray tiles
 
-    ops, rebuild = _flatten_sdf(scene.sdf)
-    params = [jnp.asarray(scene.materials.albedo, dtype),
-              jnp.asarray(scene.lights.direction, dtype),
-              jnp.asarray(scene.lights.color, dtype),
-              jnp.asarray(scene.lights.ambient, dtype),
-              jnp.asarray(scene.bg_top, dtype),
-              jnp.asarray(scene.bg_bottom, dtype)]
-    diff_small = list(ops) + params
+    ops, rebuild = _flatten_sdf(scene.sdf) if spec["use_sdf"] else ([], None)
+    param_keys, param_vals = _param_arrays(scene, dtype)
+    diff_small = list(ops) + param_vals
     n_small = len(diff_small)
 
     def kernel(*refs):
@@ -198,25 +365,23 @@ def shade_bwd_pallas(scene, cfg, o, d, res, mat, ct, method: str,
         out_small = refs[n_ray_ops + n_small:n_ray_ops + 2 * n_small]
         out_rays = refs[n_ray_ops + 2 * n_small:]
 
-        ox, oy, oz, dx, dy, dz = (ray_refs[i][:] for i in range(6))
-        t_bar = ray_refs[6][:]
-        hit_f = ray_refs[7][:]
-        mat_f = ray_refs[8][:]
-        vis_rows = [ray_refs[9 + li][:] for li in range(n_lights)]
-        ctr = ray_refs[9 + n_lights][:]
-        ctg = ray_refs[10 + n_lights][:]
-        ctb = ray_refs[11 + n_lights][:]
+        geom = [ray_refs[i][:] for i in range(n_geom)]
+        off = n_geom
+        resid = {k: ray_refs[off + i][:] for i, k in enumerate(resid_keys)}
+        off += len(resid_keys)
+        resid["vis_rows"] = [ray_refs[off + li][:] for li in range(n_lights)]
+        off += n_lights
+        ctr, ctg, ctb = (ray_refs[off + i][:] for i in range(3))
         small_vals = [r[:] for r in small_refs]
 
         def local(*diff_args):
             ops_v = list(diff_args[:len(ops)])
-            albedo, ldir, lcol, amb, bgt, bgb = diff_args[len(ops):n_small]
-            lox, loy, loz, ldx, ldy, ldz = diff_args[n_small:]
-            return _local_shade(cfg, rebuild, t_bar, hit_f, mat_f, vis_rows,
-                                ops_v, albedo, ldir, lcol, amb, bgt, bgb,
-                                lox, loy, loz, ldx, ldy, ldz)
+            prm = {k: v for k, v in zip(param_keys, diff_args[len(ops):n_small])}
+            rays = diff_args[n_small:]
+            # reorder: o/d first, then corner tiles (matches _local_shade)
+            return _local_shade(cfg, spec, rebuild, resid, ops_v, prm, rays)
 
-        _, pullback = jax.vjp(local, *small_vals, ox, oy, oz, dx, dy, dz)
+        _, pullback = jax.vjp(local, *small_vals, *geom)
         cots = pullback((ctr, ctg, ctb))
         # int leaves (material-id arrays) pull back float0 — store zeros
         small_cots = [jnp.zeros(v.shape, dtype)
@@ -233,14 +398,14 @@ def shade_bwd_pallas(scene, cfg, o, d, res, mat, ct, method: str,
             @pl.when(i != 0)
             def _(k=k):
                 out_small[k][...] = out_small[k][...] + small_cots[k]
-        for k in range(6):
+        for k in range(n_geom):
             out_rays[k][...] = ray_cots[k]
 
     small_specs = [_full_spec(x) for x in diff_small]
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, dtype) for x in diff_small]
                   + [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype)
-                     for _ in range(6)])
-    out_specs = small_specs + _ray_specs(6)
+                     for _ in range(n_geom)])
+    out_specs = small_specs + _ray_specs(n_geom)
     outs = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -258,9 +423,10 @@ def shade_bwd_pallas(scene, cfg, o, d, res, mat, ct, method: str,
     ray_cots = [r.reshape(-1)[:R] for r in outs[n_small:]]
     d_o = jnp.stack(ray_cots[0:3], -1)
     d_d = jnp.stack(ray_cots[3:6], -1)
+    d_corners = jnp.stack(ray_cots[6:15], -1) if spec["use_mesh"] else None
     d_ops = small_cots[:len(ops)]
-    (d_albedo, d_ldir, d_lcol, d_amb, d_bgt, d_bgb) = small_cots[len(ops):]
-    return d_ops, d_albedo, d_ldir, d_lcol, d_amb, d_bgt, d_bgb, d_o, d_d
+    d_params = {k: c for k, c in zip(param_keys, small_cots[len(ops):])}
+    return d_ops, d_params, d_o, d_d, d_corners
 
 
 def _zero_cot(x):
@@ -284,41 +450,91 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
         return xla_shade(scene, cfg, o, d, res, method)
 
     def fwd(scene, o, d, res):
+        from tpu_ray.kernels import moller_trumbore as mt
         from tpu_ray.sdf.primitives import sdf_distance_and_mat
 
-        # stop-grad material ids at the saved hit points (matches the mat
-        # reconstruct_hits computes; recomputed here so it rides the saved
-        # residuals into the backward kernel)
         sg = jax.lax.stop_gradient
-        p_bar = sg(o) + sg(res["sdf_t"])[..., None] * sg(d)
-        _, mat = sdf_distance_and_mat(sg(scene.sdf), p_bar)
-        return f(scene, o, d, res), (scene, o, d, res, sg(mat))
+        spec = _spec(scene, cfg, method)
+        aux = {}
+        # stop-grad aux residuals recomputed from the saved geometry (cheap
+        # XLA work; under jax.checkpoint this whole fwd re-runs in the
+        # backward sweep anyway, so nothing extra is stored)
+        if spec["use_sdf"]:
+            p_bar = sg(o) + sg(res["sdf_t"])[..., None] * sg(d)
+            _, mat_s = sdf_distance_and_mat(sg(scene.sdf), p_bar)
+        if spec["use_mesh"]:
+            tri = res["mesh_tri"]
+            idx = jnp.clip(tri, 0, max(scene.mesh.num_tris - 1, 0))
+            triv = scene.mesh.tris[idx]  # (R, 3)
+            v0 = sg(scene.mesh.verts)[triv[..., 0]]
+            v1 = sg(scene.mesh.verts)[triv[..., 1]]
+            v2 = sg(scene.mesh.verts)[triv[..., 2]]
+            aux["corners"] = jnp.concatenate([v0, v1, v2], axis=-1)  # (R, 9)
+            mat_m = jnp.where(res["mesh_hit"],
+                              scene.mesh.tri_mat[idx], 0)
+        if spec["mixed"]:
+            tm_bar, _u, _v, _n = mt.recompute_hit(sg(scene.mesh), sg(o),
+                                                  sg(d), tri)
+            ts_eff = jnp.where(res["sdf_hit"], sg(res["sdf_t"]), _BIG)
+            tm_eff = jnp.where(res["mesh_hit"], tm_bar, _BIG)
+            aux["closer"] = (ts_eff <= tm_eff).astype(o.dtype)
+            aux["mat"] = jnp.where(aux["closer"] > 0.5, mat_s, mat_m)
+        elif spec["use_sdf"]:
+            aux["mat"] = mat_s
+        else:
+            aux["mat"] = mat_m
+        aux = sg(aux)
+        return f(scene, o, d, res), (scene, o, d, res, aux)
 
     def bwd(saved, ct):
-        scene, o, d, res, mat = saved
-        (d_ops, d_albedo, d_ldir, d_lcol, d_amb, d_bgt, d_bgb,
-         d_o, d_d) = shade_bwd_pallas(scene, cfg, o, d, res, mat, ct, method)
+        scene, o, d, res, aux = saved
+        spec = _spec(scene, cfg, method)
+        d_ops, d_params, d_o, d_d, d_corners = shade_bwd_pallas(
+            scene, cfg, o, d, res, aux, ct, method)
 
         # scatter the small cotangents back into a full scene-cotangent tree
-        it = iter(d_ops)
-        sdf_leaves, sdf_treedef = jax.tree_util.tree_flatten(scene.sdf)
-        d_sdf_leaves = []
-        for l in sdf_leaves:
-            if hasattr(l, "size") and l.size > 0:
-                c = next(it)  # kernel emits f32 zeros for int leaves
-                d_sdf_leaves.append(
-                    c if jnp.issubdtype(l.dtype, jnp.floating)
-                    else _zero_cot(l))
-            else:
-                d_sdf_leaves.append(_zero_cot(l))
-        d_sdf = jax.tree_util.tree_unflatten(sdf_treedef, d_sdf_leaves)
         d_scene = jax.tree_util.tree_map(_zero_cot, scene)
+        if spec["use_sdf"]:
+            it = iter(d_ops)
+            sdf_leaves, sdf_treedef = jax.tree_util.tree_flatten(scene.sdf)
+            d_sdf_leaves = []
+            for l in sdf_leaves:
+                if hasattr(l, "size") and l.size > 0:
+                    c = next(it)  # kernel emits f32 zeros for int leaves
+                    d_sdf_leaves.append(
+                        c if jnp.issubdtype(l.dtype, jnp.floating)
+                        else _zero_cot(l))
+                else:
+                    d_sdf_leaves.append(_zero_cot(l))
+            d_scene = d_scene.replace(
+                sdf=jax.tree_util.tree_unflatten(sdf_treedef, d_sdf_leaves))
+
+        zeros = lambda k, ref: d_params.get(k, jnp.zeros_like(ref))
         d_scene = d_scene.replace(
-            sdf=d_sdf,
-            materials=d_scene.materials.replace(albedo=d_albedo),
+            materials=d_scene.materials.replace(
+                albedo=zeros("albedo", scene.materials.albedo)),
             lights=d_scene.lights.replace(
-                direction=d_ldir, color=d_lcol, ambient=d_amb),
-            bg_top=d_bgt, bg_bottom=d_bgb)
+                direction=zeros("ldir", scene.lights.direction),
+                color=zeros("lcol", scene.lights.color),
+                ambient=zeros("ambient", scene.lights.ambient),
+                position=zeros("lpos", scene.lights.position),
+                pos_color=zeros("lpcol", scene.lights.pos_color)),
+            bg_top=zeros("bg_top", scene.bg_top),
+            bg_bottom=zeros("bg_bottom", scene.bg_bottom))
+
+        if spec["use_mesh"] and d_corners is not None:
+            # per-ray corner cotangents -> vertex gradients: the gather's
+            # transpose is a scatter-add, done here in XLA (Mosaic has no
+            # general scatter; this is the one sparse op in the chain)
+            idx = jnp.clip(res["mesh_tri"], 0, max(scene.mesh.num_tris - 1, 0))
+            triv = scene.mesh.tris[idx]  # (R, 3)
+            d_verts = jnp.zeros_like(scene.mesh.verts)
+            for k in range(3):
+                d_verts = d_verts.at[triv[..., k]].add(
+                    d_corners[:, 3 * k:3 * k + 3])
+            d_scene = d_scene.replace(
+                mesh=d_scene.mesh.replace(verts=d_verts))
+
         d_res = jax.tree_util.tree_map(_zero_cot, res)
         return d_scene, d_o, d_d, d_res
 

@@ -463,8 +463,18 @@ def _shade_xla(scene: Scene, cfg: RenderConfig, o, d, res,
                          coverage=cov)
 
 
+def _realize(scene: Scene) -> Scene:
+    """Fold optional per-object poses into world verts (scene/transform.py)."""
+    if scene.poses is None:
+        return scene
+    from tpu_ray.scene.transform import realize_scene
+
+    return realize_scene(scene)
+
+
 def render_rays(scene: Scene, cfg: RenderConfig, o, d, method: str | None = None):
     """Trace + shade a flat ray batch: (R, 3),(R, 3) -> (R, 3) linear RGB."""
+    scene = _realize(scene)
     method = method or resolve_method(scene, cfg)
     res = geometry_residuals(scene, cfg, o, d, method)
     return shade_with_residuals(scene, cfg, o, d, res, method)
@@ -484,6 +494,7 @@ def render_pixels_flat(scene: Scene, cfg: RenderConfig, flat_x, flat_y,
     OOMs 1080p x 16 spp frames). Shared by the single-device and shard_map
     paths so both are memory-safe at any frame size.
     """
+    scene = _realize(scene)  # pose fold ONCE per frame, outside the blocks
     method = method or resolve_method(scene, cfg)
 
     def spp_mean_T(colors):
@@ -548,6 +559,7 @@ def frame_stats(scene: Scene, cfg: RenderConfig, max_rays: int = 1 << 18) -> dic
     """Per-frame ray statistics (the reference's overlay counters, SURVEY.md
     §2 #4/#19): hit rate, mean hit distance, and march-step stats for SDF
     scenes. Subsamples the frame to at most max_rays primary rays."""
+    scene = _realize(scene)
     dtype = scene.camera.origin.dtype
     method = resolve_method(scene, cfg)
     sx, sy = pixel_sample_coords(cfg, dtype)
