@@ -454,25 +454,40 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
             @pl.when(jnp.any(s_active))
             def _():
                 def chunk_inner(k2, _):
-                    ab = cab_scr[pl.ds(slot * SUPER + k2, 1), :]
-                    c_active = slab(ab, current_best())
+                    # TWO chunks per branch decision (VERDICT r2 item 4): the
+                    # any-lane reduce + scalar branch costs ~hundreds of
+                    # cycles per iteration; adjacent Morton chunks are
+                    # spatially adjacent, so a tile that reaches one usually
+                    # reaches its pair — halving branch count costs little
+                    # wasted MT work. The pair's slab masks OR together
+                    # (vector op) before the single cross-lane reduce.
+                    best = current_best()
+                    c0 = slot * SUPER + 2 * k2
+                    ab0 = cab_scr[pl.ds(c0, 1), :]
+                    ab1 = cab_scr[pl.ds(c0 + 1, 1), :]
+                    c_active = slab(ab0, best) | slab(ab1, best)
 
                     @pl.when(jnp.any(c_active))
                     def _():
                         base = pl.multiple_of(
-                            slot * rows_per_super + k2 * ROWS_PER_CHUNK,
+                            slot * rows_per_super + 2 * k2 * ROWS_PER_CHUNK,
                             ROWS_PER_CHUNK)
-                        rows = cor_scr[pl.ds(base, ROWS_PER_CHUNK), :]
-                        cbase = ((si * SUPER + k2) * CHUNK).astype(jnp.float32)
-                        best_t, best_tri = _mt_chunk_update(
-                            rows, ox, oy, oz, dx, dy, dz,
-                            t_ref[:], tri_ref[:], cbase, t_far)
+                        rows2 = cor_scr[pl.ds(base, 2 * ROWS_PER_CHUNK), :]
+                        best_t, best_tri = t_ref[:], tri_ref[:]
+                        for h in range(2):
+                            cbase = ((si * SUPER + 2 * k2 + h) * CHUNK
+                                     ).astype(jnp.float32)
+                            best_t, best_tri = _mt_chunk_update(
+                                rows2[h * ROWS_PER_CHUNK:
+                                      (h + 1) * ROWS_PER_CHUNK],
+                                ox, oy, oz, dx, dy, dz,
+                                best_t, best_tri, cbase, t_far)
                         t_ref[:] = best_t
                         tri_ref[:] = best_tri
 
                     return 0
 
-                jax.lax.fori_loop(0, SUPER, chunk_inner, 0)
+                jax.lax.fori_loop(0, SUPER // 2, chunk_inner, 0)
 
             return 0
 
