@@ -85,6 +85,10 @@ class Scene:
     grid: Optional[object] = None
     packet: Optional[object] = None
     ring: Optional[object] = None
+    # `poses`  — optional per-object differentiable TRS transforms
+    #            (tpu_ray/scene/transform.MeshPoses), folded into world-space
+    #            verts in-jit by transform.realize_scene at render entry
+    poses: Optional[object] = None
 
     def with_grid(self, density: float = 5.0) -> "Scene":
         """Build the mesh acceleration structures (host-side)."""
