@@ -32,6 +32,17 @@ def test_cli_render_turntable(tmp_path):
         assert (tmp_path / f"t_{i:03d}.png").exists()
 
 
+def test_cli_render_progressive(tmp_path, capsys):
+    out = tmp_path / "p.png"
+    cli.main(["render", "--scene", "sphere", "--width", "32", "--height", "32",
+              "--out", str(out), "--progressive", "2"])
+    assert out.exists()
+    for k in range(2):
+        prog = tmp_path / f"p_prog{k}.png"
+        assert prog.exists() and prog.stat().st_size > 50
+    assert "progressive final" in capsys.readouterr().out
+
+
 def test_cli_fit_demo(tmp_path, capsys):
     cli.main(["fit", "--scene", "sphere", "--trainable", "sdf.sph_radius",
               "--steps", "3", "--width", "16", "--height", "16",
