@@ -238,3 +238,21 @@ def test_ring_packet_refits_moved_verts(mesh8):
     np.testing.assert_allclose(float(l_ring), float(l_one), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(p_ring["mesh.verts"]),
                                np.asarray(p_one["mesh.verts"]), atol=1e-10)
+
+
+def test_balanced_pixel_perm_properties():
+    # the shard load-balancer must be a bijection over pixels, and each
+    # shard's slice must sample the whole frame (rows from everywhere)
+    from tpu_ray.dist.sharding import balanced_pixel_perm
+    from tpu_ray.utils.config import RenderConfig
+
+    for w, h in ((64, 40), (27, 9)):  # block-divisible and not
+        cfg = RenderConfig(width=w, height=h, spp=1)
+        perm = balanced_pixel_perm(cfg, 8)
+        assert sorted(perm.tolist()) == list(range(w * h))
+        rows = perm // w
+        per = len(perm) // 8
+        for s in range(8):
+            span = rows[s * per:(s + 1) * per]
+            assert span.max() - span.min() >= h // 2, (
+                "shard %d covers rows %d..%d only" % (s, span.min(), span.max()))

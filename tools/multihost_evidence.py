@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Multi-device scaling evidence on the fake 8-device CPU mesh (VERDICT r2
+item 6): the >=80% N-chip scaling claim (BASELINE.json:5) backed by a cost
+model with MEASURED inputs instead of assertion.
+
+Real multi-chip hardware is not reachable from this environment (one
+axon-tunneled chip), so wall-clock scaling cannot be timed. What CAN be
+measured exactly, and is measured here:
+
+  1. per-shard WORK balance — rays are sharded in equal whole-pixel strips
+     by construction, but work per ray varies (sky pixels march few steps);
+     we count march steps + mesh-candidate work per shard for configs 2/5;
+  2. collective traffic — every all-reduce/ppermute operand in the compiled
+     HLO of the sharded fit step (bucketed grad psums) and of the ring
+     scene-shard render, summed in bytes;
+  3. the ring shard's per-step accel bytes (the dominant P3 term).
+
+The cost model: efficiency(N) = t_comp / (t_comp + t_comm), with t_comp from
+the REAL single-chip bench (BASELINE.md) scaled by 1/N assuming the measured
+work balance, and t_comm = collective bytes / ICI bandwidth (v5e: 1.6 Tbps
+aggregate per chip => ~100 GB/s effective per direction is conservative for
+a 1-D ring; the parameter is explicit below so the model can be re-run with
+measured link rates). Writes MULTIHOST_EVIDENCE.md.
+
+Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+         python tools/multihost_evidence.py
+"""
+
+import os
+import re
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # this tool is fake-mesh-only by design
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8").strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+ICI_GBPS = 100.0  # conservative effective per-direction GB/s for a v5e ring
+DTYPE_BYTES = 4
+
+
+def shard_work_balance(scene, cfg, n_dev, balanced=True):
+    """March-steps (SDF) and candidate-super (mesh) work per pixel shard."""
+    import jax.numpy as jnp
+
+    from tpu_ray.dist.sharding import shard_sample_coords
+    from tpu_ray.kernels.sphere_trace import march
+    from tpu_ray.render.camera import generate_rays
+    from tpu_ray.render.render import resolve_method
+    from tpu_ray.sdf.primitives import sdf_distance
+
+    dtype = scene.camera.origin.dtype
+    method = resolve_method(scene, cfg)
+    if balanced:
+        fx, fy, _, _ = shard_sample_coords(cfg, dtype, n_dev)
+    else:  # the naive contiguous-strip assignment, for comparison
+        from tpu_ray.render.render import pixel_sample_coords
+        sx, sy = pixel_sample_coords(cfg, dtype)
+        pad = (-sx.size) % (n_dev * cfg.spp)
+        fx = jnp.concatenate([sx.ravel(), jnp.broadcast_to(sx.ravel()[-1:], (pad,))])
+        fy = jnp.concatenate([sy.ravel(), jnp.broadcast_to(sy.ravel()[-1:], (pad,))])
+    per = fx.shape[0] // n_dev
+    rows = []
+    for s in range(n_dev):
+        o, d = generate_rays(scene.camera, fx[s * per:(s + 1) * per],
+                             fy[s * per:(s + 1) * per], cfg.width, cfg.height)
+        work = 0.0
+        if method in ("sdf", "mixed") and scene.has_sdf:
+            _, _, steps, _ = march(sdf_distance, scene.sdf, o, d, t0=0.0,
+                                   max_steps=cfg.max_steps, eps=cfg.eps,
+                                   t_far=cfg.t_far)
+            work += float(jnp.sum(steps))
+        if method == "mesh_brute" and scene.has_mesh:
+            # brute MT tests every ray against every triangle: constant work
+            work += float(o.shape[0]) * scene.mesh.num_tris
+        if method in ("mesh_grid", "mixed") and scene.has_mesh \
+                and scene.packet is not None:
+            from tpu_ray.kernels.pallas_mt import (TILE_RAYS, _tile_super_candidates,
+                                                   _tileize)
+            tiles = []
+            for c in [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]:
+                tc, _, nt = _tileize(c)
+                tiles.append(tc)
+            _, cnt = _tile_super_candidates(tiles, 6, nt, scene.packet[0],
+                                            cfg.t_far)
+            work += float(jnp.sum(cnt)) * 2048.0  # tris per candidate super
+        rows.append(work)
+    rows = np.asarray(rows)
+    mean = rows.mean() if rows.mean() > 0 else 1.0
+    return {"per_shard_work": rows.tolist(),
+            "balance_max_over_mean": float(rows.max() / mean)}
+
+
+_DTYPE_WIDTH = {"pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2,
+                "u16": 2, "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8,
+                "u64": 8}
+
+
+def hlo_collective_bytes(lowered):
+    """Sum result bytes of every collective op in optimized HLO text.
+
+    Optimized HLO result shapes carry {layout} annotations, tuple results
+    interleave /*index=N*/ comments, and async collectives appear as
+    `-start` ops — so this scans line-by-line and reads every shape between
+    the `=` and the op name.
+    """
+    txt = lowered.compile().as_text()
+    total = {"all-reduce": 0, "all-gather": 0, "collective-permute": 0,
+             "reduce-scatter": 0}
+    line_pat = re.compile(
+        r"=\s+(.*?)\s*"
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter)"
+        r"(?:-start)?\(")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for line in txt.splitlines():
+        m = line_pat.search(line)
+        if not m or "get-tuple-element" in line:
+            continue
+        for dt, dims in shape_pat.findall(m.group(1)):
+            n = _DTYPE_WIDTH.get(dt, DTYPE_BYTES)
+            for dim in dims.split(","):
+                if dim.strip():
+                    n *= int(dim)
+            total[m.group(2)] += n
+    return total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_ray.dist.sharding import make_mesh
+    from tpu_ray.fit import extract_params, make_sharded_fit_step
+    from tpu_ray.render.render import render_image
+    from tpu_ray.scene.scenes import build_scene
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    lines = ["# Multi-device scaling evidence (round 3)", "",
+             f"Fake {n_dev}-device CPU mesh; see tools/multihost_evidence.py "
+             "for method. All byte counts read from compiled HLO.", ""]
+
+    # --- work balance, configs 2 and 5 (small frames, same camera/content) --
+    worst_imb = 1.0
+    for name, w, h in (("triangles", 128, 128), ("mixed", 192, 112)):
+        scene, cfg = build_scene(name)
+        cfg = cfg.replace(width=w, height=h, spp=1, block_size=0)
+        strip = shard_work_balance(scene, cfg, n_dev, balanced=False)
+        bal = shard_work_balance(scene, cfg, n_dev, balanced=True)
+        worst_imb = max(worst_imb, bal["balance_max_over_mean"])
+        lines += [f"## Work balance — {name} ({w}x{h}, {n_dev} pixel shards)",
+                  "",
+                  f"- per-shard work units (balanced round-robin blocks): "
+                  f"{[f'{x:.3g}' for x in bal['per_shard_work']]}",
+                  f"- max/mean imbalance: **{bal['balance_max_over_mean']:.3f}**"
+                  f" (naive contiguous strips: "
+                  f"{strip['balance_max_over_mean']:.3f}; scaling loss from "
+                  f"imbalance = max/mean - 1)", ""]
+        print(f"[evidence] {name} balance strips="
+              f"{strip['balance_max_over_mean']:.3f} balanced="
+              f"{bal['balance_max_over_mean']:.3f}", flush=True)
+
+    # --- collective bytes of one sharded fit step (config-5 scene, small) ---
+    scene, cfg = build_scene("mixed")
+    cfg = cfg.replace(width=192, height=108, spp=1, block_size=0)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    trainable = ["sdf.mb_scale", "materials.albedo", "lights.color",
+                 "camera.origin", "mesh.verts"]
+    params = extract_params(scene, trainable)
+    opt = optax.adam(1e-3)
+    st = opt.init(params)
+    step = make_sharded_fit_step(scene, cfg, target, opt, mesh)
+    lowered = jax.jit(step).lower(params, st)
+    coll = hlo_collective_bytes(lowered)
+    param_bytes = sum(int(np.prod(v.shape)) for v in params.values()) * DTYPE_BYTES
+    lines += ["## Collective traffic — sharded fit step (mixed scene)", "",
+              f"- trainables: {trainable} ({param_bytes/1e6:.2f} MB of grads)",
+              "- compiled-HLO collective operand bytes per step:"]
+    for k, v in coll.items():
+        lines.append(f"    - {k}: {v/1e6:.3f} MB")
+    print(f"[evidence] fit-step collectives {coll}", flush=True)
+
+    # --- ring scene-shard per-step bytes (knot mesh on n_dev shards) --------
+    from tpu_ray.dist.scene_shard import build_ring_packet
+    from tpu_ray.scene.mesh import torus_knot
+
+    kv, kf = torus_knot(2, 3, 340, 340)  # ~231k tris, representative
+    ring = build_ring_packet(kv, kf, n_dev)
+    shard_bytes = int(ring.corners.size // n_dev + ring.chunk_aabb.size // n_dev
+                      + ring.super_aabb.size // n_dev) * 4 \
+        + int(ring.perm.size // n_dev) * 4
+    n_tris = kf.reshape(-1, 3).shape[0]
+    lines += ["", f"## Ring scene-shard — {n_tris} tris over {n_dev} shards", "",
+              f"- per-step ppermute payload (one accel shard): "
+              f"**{shard_bytes/1e6:.2f} MB**; {n_dev-1} steps per frame",
+              f"- replicated-accel alternative: {shard_bytes*n_dev/1e6:.1f} MB "
+              f"HBM per chip (the ring trades {n_dev-1}x shard transfers for "
+              f"{n_dev}x less accel memory)", ""]
+
+    # --- cost model ---------------------------------------------------------
+    # t_comp from the real single-chip bench (BASELINE.md config 5):
+    fwd_s, bwd_s = 4.21, 9.67  # measured round-2 on-chip seconds per frame
+    psum_bytes = coll["all-reduce"]
+    t_comm = psum_bytes / (ICI_GBPS * 1e9)
+    imb = worst_imb  # slowest shard sets the pace (measured above)
+    eff_bwd = (bwd_s / n_dev) / (bwd_s / n_dev * imb + t_comm)
+    claim = (">= 80% claim holds" if eff_bwd >= 0.8
+             else ">= 80% claim NOT met by this model")
+    lines += ["## Cost model (config 5, measured inputs)", "",
+              f"- forward: rays shard with ZERO inter-chip traffic (gather of "
+              f"the final (3, n_px) frame only) -> efficiency bounded by the "
+              f"measured work imbalance alone: **{1/imb:.1%}**",
+              f"- fwd+bwd fit step: t_comp/chip = {bwd_s:.2f}s / N; grad "
+              f"psums move {psum_bytes/1e6:.2f} MB/step; at {ICI_GBPS:.0f} "
+              f"GB/s ICI that is {t_comm*1e3:.3f} ms overlappable with the "
+              f"backward sweep (OVERLAP.md) -> modeled efficiency at N=8: "
+              f"**{eff_bwd:.1%}** ({claim})",
+              f"- ring scene-shard: {n_dev-1} x {shard_bytes/1e6:.2f} MB "
+              f"ppermutes per frame = {(n_dev-1)*shard_bytes/(ICI_GBPS*1e9)*1e3:.2f} "
+              f"ms, overlappable with each shard's intersect kernel", "",
+              "Unverifiable here: real ICI link rate and DCN behavior across "
+              "hosts; the model parameters are explicit above.", ""]
+
+    out = os.path.join(REPO, "MULTIHOST_EVIDENCE.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"[evidence] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,18 +49,50 @@ def _pad_to(x: jnp.ndarray, multiple: int):
     return x, pad
 
 
+def balanced_pixel_perm(cfg: RenderConfig, n_dev: int):
+    """Pixel permutation that (a) round-robins 8x8 pixel blocks across the
+    shards and (b) keeps each 64-pixel block contiguous.
+
+    (a) is load balance: contiguous raster strips give the shard holding the
+    object rows up to ~2x the march/intersect work of the shard holding sky
+    rows (measured in MULTIHOST_EVIDENCE.md); dealing blocks round-robin
+    means every shard samples the whole frame.  (b) is tile coherence: a
+    (8,128)-sample kernel tile covers a compact 8x8-pixel footprint whose
+    tight frustum culls packet chunks — the same trade the single-device
+    path makes in render._block_order_perm.  Returns an (n_px,) numpy int32
+    permutation, or None when nothing would change (n_dev == 1 handled by
+    callers using render_image directly).
+    """
+    n_px = cfg.height * cfg.width
+    if cfg.height % 8 == 0 and cfg.width % 8 == 0:
+        idx = np.arange(n_px, dtype=np.int32).reshape(
+            cfg.height // 8, 8, cfg.width // 8, 8)
+        units = idx.transpose(0, 2, 1, 3).reshape(-1, 64)  # block order
+    else:
+        units = np.arange(n_px, dtype=np.int32).reshape(-1, 1)
+    order = np.concatenate(
+        [np.arange(units.shape[0])[s::n_dev] for s in range(n_dev)])
+    return units[order].reshape(-1)
+
+
 def shard_sample_coords(cfg: RenderConfig, dtype, n_dev: int):
     """Flat sample coords padded so every shard holds WHOLE pixels.
 
-    Returns (flat_x, flat_y, n_px): length is a multiple of n_dev * spp, so
-    per-shard spp reduction is exact and per-pixel losses shard cleanly.
+    Returns (flat_x, flat_y, n_px, perm): length is a multiple of
+    n_dev * cfg.spp, so per-shard spp reduction is exact and per-pixel losses
+    shard cleanly.  Pixels are reordered by `perm` (balanced_pixel_perm) so
+    shards are load-balanced; callers must align per-pixel data (targets,
+    output frames) with the same permutation.
     """
     from tpu_ray.render.render import pixel_sample_coords
 
     sx, sy = pixel_sample_coords(cfg, dtype)
-    flat_x, _ = _pad_to(sx.ravel(), n_dev * cfg.spp)
-    flat_y, _ = _pad_to(sy.ravel(), n_dev * cfg.spp)
-    return flat_x, flat_y, sx.size // cfg.spp
+    perm = balanced_pixel_perm(cfg, n_dev)
+    fx = sx.ravel().reshape(-1, cfg.spp)[perm].ravel()
+    fy = sy.ravel().reshape(-1, cfg.spp)[perm].ravel()
+    flat_x, _ = _pad_to(fx, n_dev * cfg.spp)
+    flat_y, _ = _pad_to(fy, n_dev * cfg.spp)
+    return flat_x, flat_y, sx.size // cfg.spp, perm
 
 
 def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
@@ -85,7 +117,7 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     dtype = scene.camera.origin.dtype
     method = resolve_method(scene, cfg)
     n_dev = mesh.devices.size
-    flat_x, flat_y, n_px = shard_sample_coords(cfg, dtype, n_dev)
+    flat_x, flat_y, n_px, perm = shard_sample_coords(cfg, dtype, n_dev)
 
     ring = None
     if scene_shards and scene.has_mesh:
@@ -109,6 +141,9 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
         return render_pixels_flat(scene_rep, cfg, xs, ys, method)  # (3, px)
 
     flat = shard_render(scene, ring, flat_x, flat_y)[:, :n_px]
+    inv = np.zeros_like(perm)
+    inv[perm] = np.arange(n_px, dtype=perm.dtype)
+    flat = flat[:, jnp.asarray(inv)]
     img = jnp.moveaxis(flat.reshape(3, cfg.height, cfg.width), 0, -1)
     if gather:
         img = jax.lax.with_sharding_constraint(

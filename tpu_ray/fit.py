@@ -137,9 +137,10 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
     # whole pixels per shard, so the loss is the MSE of the spp-AVERAGED
     # image — identical objective to make_fit_step (per-sample MSE would add
     # a parameter-dependent intra-pixel variance term)
-    flat_x, flat_y, n_px = shard_sample_coords(cfg, dtype, n_dev)
+    flat_x, flat_y, n_px, perm = shard_sample_coords(cfg, dtype, n_dev)
     n_px_pad = flat_x.shape[0] // cfg.spp
     tgt = target.reshape(-1, 3).T  # (3, n_px) channel-major
+    tgt = tgt[:, jnp.asarray(perm)]  # align with the balanced pixel order
     tgt = jnp.concatenate(
         [tgt, jnp.zeros((3, n_px_pad - n_px), dtype)], axis=1)
     w = jnp.concatenate([jnp.ones((n_px,), dtype),
