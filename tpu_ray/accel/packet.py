@@ -140,10 +140,9 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
     data9 = np.concatenate([v0.T, e1.T, e2.T], 0)  # (9, Tpad)
 
     C = Tpad // CHUNK
-    corners = np.zeros((C * ROWS_PER_CHUNK, CHUNK), np.float32)
-    for ci in range(C):
-        corners[ci * ROWS_PER_CHUNK: ci * ROWS_PER_CHUNK + 9] = \
-            data9[:, ci * CHUNK:(ci + 1) * CHUNK]
+    corners = np.zeros((C, ROWS_PER_CHUNK, CHUNK), np.float32)
+    corners[:, :9] = data9.reshape(9, C, CHUNK).transpose(1, 0, 2)
+    corners = corners.reshape(C * ROWS_PER_CHUNK, CHUNK)
 
     tmin = tv.min(1).reshape(C, CHUNK, 3)
     tmax = tv.max(1).reshape(C, CHUNK, 3)
@@ -171,10 +170,11 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
         corners_pad[:C * ROWS_PER_CHUNK] = corners
         corners = corners_pad
     sup = np.zeros((S, 128), np.float32)
-    for si in range(S):
-        sl = slice(si * SUPER, min((si + 1) * SUPER, C))
-        sup[si, 0:3] = lo_c[sl].min(0)
-        sup[si, 3:6] = hi_c[sl].max(0)
+    lo_p = np.full((C_pad, 3), big, np.float32)
+    hi_p = np.full((C_pad, 3), -big, np.float32)
+    lo_p[:C], hi_p[:C] = lo_c, hi_c
+    sup[:, 0:3] = lo_p.reshape(S, SUPER, 3).min(1)
+    sup[:, 3:6] = hi_p.reshape(S, SUPER, 3).max(1)
 
     perm = np.concatenate([order_ids, np.full(pad, -1, np.int64)])
     return PacketAccel(

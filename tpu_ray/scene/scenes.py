@@ -151,6 +151,33 @@ def knot1m_scene(dtype=jnp.float32):
     return scene, cfg
 
 
+@register("knot8m")
+def knot8m_scene(dtype=jnp.float32):
+    """Streamed-kernel scale demo (VERDICT r2 item 10): an ~8.39M-triangle
+    torus knot — one order of magnitude past knot1m, ~45x the VMEM budget.
+    Exercises every large-mesh guard at once: the candidate SMEM budget
+    forces the ray-batch auto-split (pallas_mt.intersect_packet_streamed),
+    the super count grows past 4k, and the accel stays under the f32
+    tri-slot limit (2^24) asserted at build time. Host accel build is ~20 s
+    and the one-time HBM upload is ~580 MB — use a persistent process
+    (turntable / bench loops), not per-frame CLI invocations.
+    """
+    from tpu_ray.scene.mesh import torus_knot
+
+    kv, kf = torus_knot(3, 5, 2048, 2048, radius=0.65, tube=0.16)
+    kv = kv + np.array([0.0, 1.12, 0.0])  # rest on the ground plane
+    body = MeshScene.from_numpy(kv, kf, mat_id=0, dtype=dtype)
+    gv, gf = ground_plane_quad(0.0, 8.0)
+    ground = MeshScene.from_numpy(gv, gf, mat_id=1, dtype=dtype)
+    mesh = concat_meshes(body, ground)
+    cam = Camera.make((0.0, 1.9, 3.4), (0.0, 1.0, 0.0), vfov_deg=45.0, dtype=dtype)
+    scene = _base(dtype, cam, mesh=mesh,
+                  albedos=[[0.82, 0.55, 0.38], [0.7, 0.73, 0.72]]).with_packet()
+    cfg = RenderConfig(width=1024, height=1024, spp=1, method="mesh_grid",
+                       shadow="hard", t_far=40.0, block_size=1 << 16)
+    return scene, cfg
+
+
 @register("mandelbulb")
 def mandelbulb_scene(dtype=jnp.float32):
     """BASELINE config 4: Mandelbulb DE, 4× supersampling, soft shadows + AO."""
