@@ -12,6 +12,12 @@ import os
 # Force CPU regardless of the environment's JAX_PLATFORMS=axon: unit tests use
 # the fake 8-device CPU mesh; only bench.py touches the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize claims the ONE real chip at interpreter startup when
+# this var is non-empty. For the master process that claim (if any) already
+# happened before this file ran, but clearing it here guarantees xdist
+# workers — spawned AFTER conftest import, inheriting os.environ — start
+# claim-free. Best practice remains `PALLAS_AXON_POOL_IPS= python -m pytest`.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

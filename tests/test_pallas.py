@@ -3,6 +3,7 @@ tile kernels must reproduce the jnp reference paths exactly (same op order),
 and gradients through the pallas-forward tracer must equal the jnp-forward
 tracer (shared IFT backward)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -154,6 +155,7 @@ def test_packet_accel_matches_brute():
     np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
 
 
+@pytest.mark.slow
 def test_bunny_render_packet_matches_grid():
     """Full-pipeline: packet-kernel render == DDA render on the bunny scene."""
     scene, cfg = build_scene("bunny", dtype=jnp.float32)
@@ -163,6 +165,7 @@ def test_bunny_render_packet_matches_grid():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_packet_parts_split_matches_brute():
     """Meshes over the VMEM budget split into parts; the merged result must
     equal brute force (tested with an artificially tiny budget)."""
@@ -195,6 +198,7 @@ def test_packet_parts_split_matches_brute():
     np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
 
 
+@pytest.mark.slow
 def test_packet_streamed_matches_brute():
     """HBM-streamed kernel (double-buffered corner DMA, per-tile candidate
     lists) vs brute-force MT — the oracle for the no-VMEM-cap path."""
@@ -234,6 +238,7 @@ def test_packet_streamed_matches_brute():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_mixed_pallas_on_matches_off():
     """Mixed scene with the packet kernel + SDF-hit t_init seeding (cross-
     method cull) vs the pure-XLA path: same image."""
@@ -261,6 +266,7 @@ def test_knot1m_scene_streams():
     assert packet_accel_bytes(scene.packet[0].num_tris) > VMEM_BUDGET_BYTES
 
 
+@pytest.mark.slow
 def test_packet_streamed_autosplit(monkeypatch):
     """Oversize ray batches auto-split so the (nt, S) candidate array stays
     under the SMEM scalar-prefetch budget (an unblocked large frame over a

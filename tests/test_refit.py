@@ -2,6 +2,7 @@
 refit to moved vertices inside the jitted step (pure jnp), keeping the Pallas
 path exact during mesh.verts optimization."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,7 @@ def test_refit_identity_at_build_verts():
                                np.asarray(accel.super_aabb), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vertex_fit_step_refit_matches_brute_gradients():
     """One fit step over mesh.verts with the refit packet path must produce
     the same loss and updated verts as the brute-force path (f64)."""
@@ -78,6 +80,7 @@ def test_vertex_fit_step_refit_matches_brute_gradients():
                                np.asarray(p_b["mesh.verts"]), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_vertex_fit_loop_converges_with_refit():
     """Short vertex fit with the refit accel active: loss must drop and the
     accel must keep matching the moving geometry (no silent misses).

@@ -163,6 +163,7 @@ def test_sharded_render_blocked_matches_unblocked(mesh8):
     np.testing.assert_allclose(a, b, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ring_packet_render_matches_replicated(mesh8):
     """VERDICT r1 item 3: a full frame rendered with the scene partitioned
     around the ring (packet kernel + ppermute + running-t fold) must match
@@ -181,6 +182,7 @@ def test_ring_packet_render_matches_replicated(mesh8):
     np.testing.assert_allclose(ringed, replicated, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_ring_packet_mixed_scene_and_fit_step(mesh8):
     """Ring scene-shard inside the differentiable fit step: loss and vertex
     gradients must match the replicated sharded step exactly (the ring only
@@ -208,6 +210,7 @@ def test_ring_packet_mixed_scene_and_fit_step(mesh8):
                                    atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ring_packet_refits_moved_verts(mesh8):
     """ADVICE r2: a vertex fit with scene_shards=True must intersect the
     CURRENT geometry, not the frozen build-time ring accel. Step from verts

@@ -2,6 +2,7 @@
 item 5): Rodrigues correctness, posed-render == pre-baked-verts render,
 FD-vs-AD pose gradients, and a pose-recovery fit."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,7 @@ def test_rodrigues_matches_matrix_reference():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_posed_render_matches_prebaked_verts():
     """render(scene with poses) must equal render(scene whose verts were
     transformed host-side), for every intersect backend the scene uses."""
