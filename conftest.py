@@ -35,6 +35,21 @@ jax.config.update("jax_enable_x64", True)
 # everything — the round's verify step uses the full suite.
 # ---------------------------------------------------------------------------
 
+def pytest_load_initial_conftests(args, early_config, parser):
+    """Default to 4-way xdist parallelism (the CPU gate is interpret-mode
+    heavy and embarrassingly parallel across files) — but only when xdist is
+    importable and the user didn't pick a worker count themselves, so plain
+    environments and `-n 0` debugging keep working."""
+    if any(a == "-n" or a.startswith("-n") and a[2:].isdigit()
+           or a.startswith("--numprocesses") for a in args):
+        return
+    try:
+        import xdist  # noqa: F401
+    except ImportError:
+        return
+    args[:] = ["-n", "4"] + args
+
+
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
                      help="also run tests marked slow")

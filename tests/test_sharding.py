@@ -259,3 +259,31 @@ def test_balanced_pixel_perm_properties():
             span = rows[s * per:(s + 1) * per]
             assert span.max() - span.min() >= h // 2, (
                 "shard %d covers rows %d..%d only" % (s, span.min(), span.max()))
+
+
+@pytest.mark.slow
+def test_ring_pose_fit_matches_single_device(mesh8):
+    """scene_shards + poses.* trainables: the ring accel shards must track
+    the POSED geometry (refit per step + posed-vert build), so the ring-path
+    loss equals the single-device oracle (review r3: the ring previously
+    froze build-time unposed geometry, zeroing pose gradients)."""
+    from tpu_ray.scene.transform import MeshPoses
+
+    scene, cfg = build_scene("triangles", dtype=jnp.float32)
+    nv = scene.mesh.verts.shape[0]
+    inst = np.full((nv,), -1, np.int32)
+    inst[:30] = 0
+    scene = scene.replace(
+        poses=MeshPoses.identity(1, inst, dtype=jnp.float32)).with_packet()
+    cfg = cfg.replace(width=32, height=32, block_size=0, pallas="off")
+    start = scene.replace(poses=scene.poses.replace(
+        translate=jnp.asarray([[0.2, 0.1, 0.0]], jnp.float32)))
+    target = render_image(scene, cfg)
+    params = extract_params(start, ["poses.translate"])
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    _, _, loss_ring = make_sharded_fit_step(
+        start, cfg, target, opt, mesh8, scene_shards=True)(params, st)
+    _, _, loss_one = make_fit_step(start, cfg, target, opt)(params, st)
+    np.testing.assert_allclose(float(loss_ring), float(loss_one), rtol=1e-5)
+    assert float(loss_ring) > 1e-3  # posed-start must actually mismatch

@@ -122,12 +122,18 @@ def hlo_collective_bytes(lowered):
         m = line_pat.search(line)
         if not m or "get-tuple-element" in line:
             continue
+        n_line = 0
         for dt, dims in shape_pat.findall(m.group(1)):
             n = _DTYPE_WIDTH.get(dt, DTYPE_BYTES)
             for dim in dims.split(","):
                 if dim.strip():
                     n *= int(dim)
-            total[m.group(2)] += n
+            n_line += n
+        if "-start(" in line:
+            # async `-start` ops return an (aliased operand, destination)
+            # tuple: counting every shape would double the real traffic
+            n_line //= 2
+        total[m.group(2)] += n_line
     return total
 
 

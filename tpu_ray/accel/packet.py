@@ -264,7 +264,9 @@ def _save_parts(path: str, parts: list) -> None:
         payload[f"super_aabb_{i}"] = np.asarray(a.super_aabb)
         payload[f"perm_{i}"] = np.asarray(a.perm)
         payload[f"num_tris_{i}"] = np.asarray(a.num_tris)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"  # unique per writer: concurrent
+    # builders (pytest-xdist workers, parallel CLIs) must not interleave
+    # writes into one tmp file; each publishes atomically via os.replace
     with open(tmp, "wb") as fh:  # file handle: savez must not append .npz
         np.savez(fh, **payload)
     os.replace(tmp, path)

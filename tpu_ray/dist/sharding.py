@@ -58,13 +58,15 @@ def balanced_pixel_perm(cfg: RenderConfig, n_dev: int):
     rows (measured in MULTIHOST_EVIDENCE.md); dealing blocks round-robin
     means every shard samples the whole frame.  (b) is tile coherence: a
     (8,128)-sample kernel tile covers a compact 8x8-pixel footprint whose
-    tight frustum culls packet chunks — the same trade the single-device
-    path makes in render._block_order_perm.  Returns an (n_px,) numpy int32
-    permutation, or None when nothing would change (n_dev == 1 handled by
-    callers using render_image directly).
+    tight frustum culls packet chunks — reusing the single-device blocking
+    (render._block_order_perm).  Always returns an (n_px,) numpy int32
+    permutation (identity-ordered strips when the frame has no 8x8 tiling).
     """
     n_px = cfg.height * cfg.width
     if cfg.height % 8 == 0 and cfg.width % 8 == 0:
+        # same 8x8 blocking as render._block_order_perm, but in numpy: this
+        # runs inside jitted callers where that function's jnp result would
+        # be a tracer (host-side permutation construction must stay concrete)
         idx = np.arange(n_px, dtype=np.int32).reshape(
             cfg.height // 8, 8, cfg.width // 8, 8)
         units = idx.transpose(0, 2, 1, 3).reshape(-1, 64)  # block order
@@ -123,6 +125,14 @@ def render_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     if scene_shards and scene.has_mesh:
         from tpu_ray.dist.scene_shard import build_ring_packet
 
+        if scene.poses is not None:
+            # the ring's corners/AABBs are geometry, not topology: fold poses
+            # into world verts BEFORE the build, or the geometry pass would
+            # intersect unposed triangles (render_rays' in-jit realize only
+            # rewrites mesh.verts — ring shards are closed over, not refit)
+            from tpu_ray.scene.transform import realize_scene
+
+            scene = realize_scene(scene)
         ring = build_ring_packet(np.asarray(scene.mesh.verts),
                                  np.asarray(scene.mesh.tris), n_dev)
         scene = scene.replace(grid=None, packet=None)

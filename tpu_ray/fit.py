@@ -131,8 +131,16 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
 
         from tpu_ray.dist.scene_shard import build_ring_packet
 
-        ring = build_ring_packet(np.asarray(scene.mesh.verts),
-                                 np.asarray(scene.mesh.tris), n_dev)
+        build_scene_ = scene
+        if scene.poses is not None:
+            # build the ring from POSED world verts so the Morton chunk
+            # order matches the geometry the fit starts from (the per-step
+            # refit above keeps it exact as poses move)
+            from tpu_ray.scene.transform import realize_scene
+
+            build_scene_ = realize_scene(scene)
+        ring = build_ring_packet(np.asarray(build_scene_.mesh.verts),
+                                 np.asarray(build_scene_.mesh.tris), n_dev)
         scene = scene.replace(grid=None, packet=None)
     # whole pixels per shard, so the loss is the MSE of the spp-AVERAGED
     # image — identical objective to make_fit_step (per-sample MSE would add
@@ -168,8 +176,10 @@ def make_sharded_fit_step(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
                 from tpu_ray.dist.scene_shard import ring_local, refit_ring_packet
 
                 r = ring_local(ring_blk)
+                # poses.* params move geometry too (realize_scene above has
+                # already folded them into s.mesh.verts by this point)
                 moving_mesh = refit_accel or any(
-                    k.split(".")[0] == "mesh" for k in params_)
+                    k.split(".")[0] in ("mesh", "poses") for k in params_)
                 if moving_mesh:
                     # vertex fits: refit this device's accel shard to the
                     # CURRENT verts before the ring rotation starts (ADVICE
@@ -217,9 +227,17 @@ def fit(scene: Scene, cfg: RenderConfig, target: jnp.ndarray,
         # object-pose fits: transform.realize_scene (called at render entry)
         # folds poses into world verts and refits the packet accel in-jit
         # every step; the host-built grid cannot follow and is dropped
+        from tpu_ray.render.render import use_pallas
+
         scene = scene.replace(grid=None)
-        if scene.packet is None and cfg.method == "mesh_grid":
-            cfg = cfg.replace(method="mesh_brute")
+        if not (scene.packet is not None
+                and use_pallas(cfg, scene.mesh.verts.dtype)):
+            # packet path unusable (absent, or pallas off / f64): drop it and
+            # fall back to brute MT so the render stays correct, mirroring
+            # the mesh.* branch below
+            scene = scene.replace(packet=None)
+            if cfg.method == "mesh_grid":
+                cfg = cfg.replace(method="mesh_brute")
     if any(p.split(".")[0] == "mesh" for p in trainable):
         # vertex positions are being optimized: the grid was voxelized from
         # the INITIAL vertices and would go stale as vertices move. The

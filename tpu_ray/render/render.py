@@ -159,12 +159,14 @@ def _mesh_intersect(scene: Scene, cfg: RenderConfig, o, d, method: str,
         # primary rays share the camera origin -> front-to-back chunk order
         res = intersect_packet_parts(scene.packet, o, d, t_max=cfg.t_far,
                                      sort_origin=o[0], t_init=t_init)
-    elif grid_path:
+    elif grid_path and scene.grid is not None:
         from tpu_ray.kernels.dda import intersect_grid
 
-        assert scene.grid is not None, "call scene.with_grid() before mesh_grid renders"
         res = intersect_grid(scene.mesh, scene.grid, o, d, t_max=cfg.t_far)
     else:
+        # also the method="mesh_grid" fallback when NO accel is usable (e.g.
+        # realize_scene dropped a host-built grid it cannot refit in-jit, or
+        # pallas is off for a packet-only scene): brute MT stays correct
         res = mt.intersect_brute(scene.mesh, o, d, t_max=cfg.t_far)
     return jax.lax.stop_gradient(res.tri), res.hit
 
