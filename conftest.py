@@ -35,21 +35,6 @@ jax.config.update("jax_enable_x64", True)
 # everything — the round's verify step uses the full suite.
 # ---------------------------------------------------------------------------
 
-def pytest_load_initial_conftests(args, early_config, parser):
-    """Default to 4-way xdist parallelism (the CPU gate is interpret-mode
-    heavy and embarrassingly parallel across files) — but only when xdist is
-    importable and the user didn't pick a worker count themselves, so plain
-    environments and `-n 0` debugging keep working."""
-    if any(a == "-n" or a.startswith("-n") and a[2:].isdigit()
-           or a.startswith("--numprocesses") for a in args):
-        return
-    try:
-        import xdist  # noqa: F401
-    except ImportError:
-        return
-    args[:] = ["-n", "4"] + args
-
-
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
                      help="also run tests marked slow")
@@ -59,6 +44,29 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long interpret-mode test, excluded by default "
                    "(run with --runslow or RUN_SLOW=1)")
+    # Default to 4-way xdist parallelism (the CPU gate is interpret-mode
+    # heavy and embarrassingly parallel across files). Done here rather than
+    # via addopts so environments WITHOUT pytest-xdist still run (serially)
+    # instead of dying on an unrecognized -n; explicit -n (incl. -n 0) wins.
+    # (pytest_load_initial_conftests can't help: pytest only calls it for
+    # setuptools plugins, never for conftest.py files.) This must run before
+    # xdist's pytest_cmdline_main reads numprocesses — conftest configure
+    # does. Workers re-enter this configure with workerinput set; skip them.
+    if not hasattr(config, "workerinput"):
+        try:
+            import xdist  # noqa: F401
+        except ImportError:
+            pass
+        else:
+            if getattr(config.option, "numprocesses", None) is None:
+                # xdist's own pytest_cmdline_main (which normally derives tx
+                # from -n) has already run; set the derived options directly.
+                # Conftest configure hooks run before plugin configure hooks,
+                # so xdist's _is_distribution_mode sees these and registers
+                # its DSession.
+                config.option.numprocesses = 4
+                config.option.dist = "load"
+                config.option.tx = ["popen"] * 4
 
 
 def pytest_collection_modifyitems(config, items):

@@ -124,6 +124,10 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
             f"packet accel of {T} triangles exceeds the f32 tri-slot limit "
             f"(2^24); build multiple parts (build_packet_parts streamed=False "
             f"legacy split, or shard the mesh around the ring)")
+    native = _native_build(verts, tris, tri_id_base)
+    if native is not None:
+        return native
+
     tv = verts[tris]  # (T, 3, 3)
     order = _morton_order(verts, tris)
     ids = np.arange(T) if tri_id_base is None else np.asarray(tri_id_base)
@@ -182,6 +186,52 @@ def build_packet_accel(verts: np.ndarray, tris: np.ndarray,
         chunk_aabb=jnp.asarray(aabb),
         super_aabb=jnp.asarray(sup),
         perm=jnp.asarray(perm, jnp.int32),
+        num_tris=T,
+    )
+
+
+def _native_build(verts64: np.ndarray, tris: np.ndarray,
+                  tri_id_base) -> PacketAccel | None:
+    """C++ fused build (tpu_ray/native/accel_build.cpp): Morton sort +
+    corners/AABB/perm fill in one multithreaded pass — bit-identical to the
+    numpy path below (tests/test_native_accel.py), ~30x faster at 8M tris.
+    Returns None when the native library is unavailable (numpy fallback)."""
+    import ctypes
+
+    from tpu_ray.native import accel_lib
+
+    lib = accel_lib()
+    if lib is None:
+        return None
+    T = tris.shape[0]
+    Tpad = -(-T // CHUNK) * CHUNK
+    C = Tpad // CHUNK
+    S = -(-C // SUPER)
+    C_pad = S * SUPER
+    verts_c = np.ascontiguousarray(verts64, np.float64)
+    tris_c = np.ascontiguousarray(tris, np.int64)
+    ids_c = (None if tri_id_base is None
+             else np.ascontiguousarray(tri_id_base, np.int64))
+    corners = np.zeros((C_pad * ROWS_PER_CHUNK, CHUNK), np.float32)
+    chunk_aabb = np.zeros((C_pad, 128), np.float32)
+    super_aabb = np.zeros((S, 128), np.float32)
+    perm = np.zeros((Tpad,), np.int32)
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    rc = lib.tpu_ray_accel_build(
+        p(verts_c, ctypes.c_double), verts_c.shape[0],
+        p(tris_c, ctypes.c_int64), T,
+        None if ids_c is None else p(ids_c, ctypes.c_int64),
+        p(corners, ctypes.c_float), corners.shape[0],
+        p(chunk_aabb, ctypes.c_float), C_pad,
+        p(super_aabb, ctypes.c_float), S,
+        p(perm, ctypes.c_int32), Tpad)
+    if rc != 0:
+        return None
+    return PacketAccel(
+        corners=jnp.asarray(corners),
+        chunk_aabb=jnp.asarray(chunk_aabb),
+        super_aabb=jnp.asarray(super_aabb),
+        perm=jnp.asarray(perm),
         num_tris=T,
     )
 
