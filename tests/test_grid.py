@@ -3,6 +3,7 @@ correctness oracle (grid hit == brute-force hit; SURVEY.md §4.2)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpu_ray.accel.grid_build import build_grid, grid_stats
 from tpu_ray.kernels import moller_trumbore as mt
@@ -88,6 +89,8 @@ def test_rays_inside_grid_and_axis_parallel():
     np.testing.assert_allclose(np.asarray(g.t)[hits], np.asarray(b.t)[hits], rtol=1e-10)
 
 
+@pytest.mark.slow  # ~75 s: full-render oracle already covered per-kernel by
+# test_grid_matches_brute_random_scenes; runs in the --runslow gate
 def test_bunny_render_grid_matches_brute_render():
     # full-pipeline oracle at render level (BASELINE config 3, small frame)
     from tpu_ray.render.render import render_image

@@ -5,6 +5,7 @@ values and gradients, through the march, and through the full render."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tpu_ray.render.render import render_image
 from tpu_ray.scene.scenes import build_scene
@@ -38,6 +39,8 @@ def test_pow8_matches_generic_gradients_f64():
     np.testing.assert_allclose(g_p8[mask], g_gen[mask], atol=1e-5)
 
 
+@pytest.mark.slow  # ~34 s full-render f64 oracle; the fast DE-level value and
+# gradient agreement tests above keep the pow8 path gated in the default run
 def test_pow8_render_matches_generic_f64():
     scene, cfg = build_scene("mandelbulb", dtype=jnp.float64)
     assert scene.sdf.mb_pow8  # the registry enables the fast path

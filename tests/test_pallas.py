@@ -128,6 +128,8 @@ def test_render_pallas_on_matches_off():
     assert np.quantile(err, 0.95) < 5e-3 and err.max() < 1.0
 
 
+@pytest.mark.slow  # ~50 s interpret-mode oracle; the on-chip parity gate
+# (tools/parity_tpu.py packet_vs_brute) covers the compiled kernel every round
 def test_packet_accel_matches_brute():
     """Packet-brute kernel (interpret mode) vs brute-force MT: the classic
     accelerator oracle, for the TPU-native chunk-culled structure."""

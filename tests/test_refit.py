@@ -24,6 +24,9 @@ def _moved_mesh(seed=0, scale=0.15):
     return v, v2, f
 
 
+@pytest.mark.slow  # ~33 s: the moved-verts oracle is covered in the default
+# run by test_refit_identity_at_build_verts + the fit-step refit gradient
+# tests; the full brute comparison runs in --runslow
 def test_refit_matches_brute_on_moved_verts():
     v, v2, f = _moved_mesh()
     accel = build_packet_accel(v, f)  # built from ORIGINAL verts

@@ -115,6 +115,8 @@ def test_jitter_determinism_and_seed_sensitivity():
     assert np.abs(a - c).max() > 0.0
 
 
+@pytest.mark.slow  # ~45 s: the mixed chain is covered fast by test_jit_
+# matches_eager + per-kernel goldens; full CPU-oracle match runs in --runslow
 def test_mixed_scene_golden_small():
     """Mixed mesh+SDF shading path vs the CPU reference (small crop, brute)."""
     scene, cfg = build_scene("mixed", dtype=jnp.float64)
@@ -128,6 +130,8 @@ def test_mixed_scene_golden_small():
     assert np.quantile(d, 0.95) < 1e-4 and d.max() < 0.05
 
 
+@pytest.mark.slow  # ~34 s: AO math is gated fast by test_pallas_shade mixed_ao
+# backward parity + the shading unit tests; full CPU golden runs in --runslow
 def test_mixed_ao_golden_small():
     """Mesh-aware DF-AO (ao=sdf5 on the mixed scene): mesh occludes and
     receives the 5-tap AO via the ao_tmesh residual; must match the scalar
