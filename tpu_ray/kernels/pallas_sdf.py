@@ -355,13 +355,39 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
         tc, R, nt = _tileize(c)
         tiles.append(tc)
     operands, rebuild = _flatten_sdf(sdf)
+    # hard-shadow bounding cull: a blocker needs DE < eps, which only happens
+    # within eps of a primitive — inside its bounding sphere inflated by eps.
+    # Clamping each lane's march at its LAST bound exit (0 for lanes missing
+    # every bound) kills the dominant cost of mixed-scene shadows: rays from
+    # mesh surfaces toward the light that never approach the SDF at all
+    # (measured 1.47 s -> ~0.3 s of the 1080p x 16 spp frame). Soft shadows
+    # keep the full march: their penumbra term k*d/t darkens lanes that miss
+    # every bound, so an exit-clamp there would change the image.
+    bounds = None if soft else sdf_bounding_spheres(sdf)
+    n_bounds = 0 if bounds is None else bounds.shape[0]
+    extra = [] if bounds is None else [bounds]
 
     def kernel(*refs):
         px, py, pz, lx, ly, lz = (refs[i][:] for i in range(6))
         t_far_k = refs[6][:] if n_ray_ops == 7 else t_far
         sdf_k = rebuild([refs[n_ray_ops + i][:] for i in range(len(operands))])
-        vis_ref = refs[n_ray_ops + len(operands)]
-        ts_ref = refs[n_ray_ops + 1 + len(operands)]
+        off = n_ray_ops + len(operands)
+        bounds_ref = refs[off] if n_bounds else None
+        vis_ref = refs[off + (1 if n_bounds else 0)]
+        ts_ref = refs[off + (1 if n_bounds else 0) + 1]
+        if n_bounds:
+            t_cut = px * 0.0  # last bound exit per lane (0 = misses all)
+            for k in range(n_bounds):
+                cx, cy, cz, r = (bounds_ref[k, 0], bounds_ref[k, 1],
+                                 bounds_ref[k, 2], bounds_ref[k, 3] + eps)
+                ocx, ocy, ocz = px - cx, py - cy, pz - cz
+                b = ocx * lx + ocy * ly + ocz * lz
+                c2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - c2
+                texit = jnp.sqrt(jnp.maximum(disc, 0.0)) - b
+                t_cut = jnp.maximum(
+                    t_cut, jnp.where(disc >= 0.0, texit, 0.0))
+            t_far_k = jnp.minimum(t_far_k, t_cut)
 
         zero = px * 0.0  # tiled-layout zero (see march kernel layout note)
         t0_arr = zero + bias
@@ -409,7 +435,8 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
             ts_ref[:] = t0_arr
 
     out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype)] * 2
-    in_specs = (_ray_specs(n_ray_ops, nt) + [_full_spec(op) for op in operands])
+    in_specs = (_ray_specs(n_ray_ops, nt) + [_full_spec(op) for op in operands]
+                + [_full_spec(b) for b in extra])
     vis, ts = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -417,5 +444,5 @@ def shadow_pallas(sdf: SdfScene, p: jnp.ndarray, l_dir: jnp.ndarray, *,
         out_specs=[pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)] * 2,
         out_shape=out_shape,
         interpret=interpret,
-    )(*tiles, *operands)
+    )(*tiles, *operands, *extra)
     return vis.reshape(-1)[:R], ts.reshape(-1)[:R]

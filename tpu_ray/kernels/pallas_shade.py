@@ -456,10 +456,15 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
         sg = jax.lax.stop_gradient
         spec = _spec(scene, cfg, method)
         aux = {}
-        # stop-grad aux residuals recomputed from the saved geometry (cheap
-        # XLA work; under jax.checkpoint this whole fwd re-runs in the
-        # backward sweep anyway, so nothing extra is stored)
-        if spec["use_sdf"]:
+        # stop-grad aux residuals. The geometry pass already derives the hit
+        # material and the mixed closest-select mask while computing shadow
+        # origins (render.geometry_residuals aux_out) — reading them from the
+        # residual dict saves this fwd (which re-runs in the backward sweep
+        # under jax.checkpoint) a full DE re-evaluation and a recompute_hit
+        # per ray. When shadows and AO are both off they are absent and get
+        # recomputed here.
+        have_saved = "hit_mat" in res
+        if spec["use_sdf"] and not have_saved:
             p_bar = sg(o) + sg(res["sdf_t"])[..., None] * sg(d)
             _, mat_s = sdf_distance_and_mat(sg(scene.sdf), p_bar)
         if spec["use_mesh"]:
@@ -470,9 +475,14 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
             v1 = sg(scene.mesh.verts)[triv[..., 1]]
             v2 = sg(scene.mesh.verts)[triv[..., 2]]
             aux["corners"] = jnp.concatenate([v0, v1, v2], axis=-1)  # (R, 9)
-            mat_m = jnp.where(res["mesh_hit"],
-                              scene.mesh.tri_mat[idx], 0)
-        if spec["mixed"]:
+            if not have_saved:
+                mat_m = jnp.where(res["mesh_hit"],
+                                  scene.mesh.tri_mat[idx], 0)
+        if have_saved:
+            aux["mat"] = res["hit_mat"]
+            if spec["mixed"]:
+                aux["closer"] = res["hit_closer"].astype(o.dtype)
+        elif spec["mixed"]:
             tm_bar, _u, _v, _n = mt.recompute_hit(sg(scene.mesh), sg(o),
                                                   sg(d), tri)
             ts_eff = jnp.where(res["sdf_hit"], sg(res["sdf_t"]), _BIG)

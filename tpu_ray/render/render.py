@@ -255,12 +255,26 @@ def _mesh_from_res(scene: Scene, cfg: RenderConfig, o, d, res):
     return t, hit, p, n, mat, hit.astype(o.dtype)
 
 
-def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str):
-    """Differentiable (t, hit, p, n, mat, cov) from geometry residuals."""
+def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str,
+                     aux_out: dict | None = None):
+    """Differentiable (t, hit, p, n, mat, cov) from geometry residuals.
+
+    aux_out: optional dict that receives stop-gradient by-products the fused
+    Pallas backward needs as residuals (hit material id; the mixed
+    closest-select mask) — computed here anyway, so emitting them from the
+    geometry pass saves the custom-VJP forward a full DE re-evaluation and a
+    recompute_hit per ray (measured 1.36 -> ~0.4 ms per 64k block on chip).
+    """
     if method == "sdf":
-        return _sdf_from_res(scene, cfg, o, d, res)
+        out = _sdf_from_res(scene, cfg, o, d, res)
+        if aux_out is not None:
+            aux_out["mat"] = out[4]
+        return out
     if method in ("mesh_brute", "mesh_grid"):
-        return _mesh_from_res(scene, cfg, o, d, res)
+        out = _mesh_from_res(scene, cfg, o, d, res)
+        if aux_out is not None:
+            aux_out["mat"] = out[4]
+        return out
     if method == "mixed":
         ts, hs, ps, ns, ms, cs = _sdf_from_res(scene, cfg, o, d, res)
         tm, hm, pm, nm, mm, cm = _mesh_from_res(scene, cfg, o, d, res)
@@ -274,6 +288,9 @@ def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str):
         mat = jnp.where(sdf_closer, ms, mm)
         # soft SDF coverage applies only where the mesh does not hit in front
         cov = jnp.where(hm & (~sdf_closer), cm, jnp.maximum(cs, cm))
+        if aux_out is not None:
+            aux_out["mat"] = mat
+            aux_out["closer"] = sdf_closer
         return t, hit, p, n, mat, cov
     raise ValueError(f"unknown method {method!r}")
 
@@ -311,10 +328,29 @@ def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
                and scene.has_mesh)
     if cfg.shadow != "none" or ao_mesh:
         # shadow/AO-ray origins: the selected hit point offset along the
-        # (ray-facing) normal — same values the shade pass will use
-        _t, _hit, p, n, _mat, _cov = reconstruct_hits(scene, cfg, o, d, res, method)
+        # (ray-facing) normal — same values the shade pass will use. The
+        # reconstruct's by-products (hit material, mixed closest-select) are
+        # emitted as residuals so the fused Pallas backward's forward pass
+        # never re-derives them (pallas_shade.make_shade_sdf_vjp fwd).
+        aux = {}
+        _t, _hit, p, n, _mat, _cov = reconstruct_hits(scene, cfg, o, d, res,
+                                                      method, aux_out=aux)
+        res["hit_mat"] = aux["mat"]
+        if "closer" in aux:
+            res["hit_closer"] = aux["closer"]
         n = jnp.where(dot(n, d)[..., None] > 0.0, -n, n)
         p_off = p + cfg.shadow_bias * n
+        # Miss lanes: without soft silhouettes their shadow/AO values never
+        # reach the image (shade selects the background), but their hit point
+        # o + BIG*d is a garbage origin that blows up the packet kernel's
+        # tile-interval candidate cull (one miss lane in an (8,128) tile
+        # makes the conservative frustum span the whole scene). Park them at
+        # the camera and give the marches a zero budget below. With soft
+        # silhouettes the reconstruct already parks misses at t_min (sane).
+        live = None
+        if cfg.soft_silhouette <= 0.0:
+            live = _hit
+            p_off = jnp.where(_hit[..., None], p_off, o)
     if ao_mesh:
         # mesh term of the DF-AO taps: closest hit along the shade normal
         # within the tap range (static occlusion, like sh_vis)
@@ -329,6 +365,10 @@ def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
             """Shadow residuals for one light: (static_vis, soft_argmin_t)."""
             vis = jnp.ones(p.shape[:-1], p.dtype)
             ts = jnp.full(p.shape[:-1], cfg.shadow_bias, p.dtype)
+            if live is not None:
+                # zero march budget for miss lanes (their vis is never read)
+                base_far = cfg.t_far if t_far_rays is None else t_far_rays
+                t_far_rays = jnp.where(live, base_far, 0.0).astype(p.dtype)
             if _use_sdf(scene, method):
                 if use_pallas(cfg, p.dtype):
                     from tpu_ray.kernels.pallas_sdf import shadow_pallas
@@ -352,11 +392,16 @@ def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
                     vis = vis * v
             if _use_mesh(scene, method):
                 seed = None
+                dead = None
                 if (cfg.shadow == "hard" and _use_sdf(scene, method)
                         and not soft_diff):
                     # the SDF march already blocked these rays: 0-seed skips
                     # all their packet work (visibility product is 0 anyway)
-                    seed = jnp.where(vis <= 0.0, 0.0,
+                    dead = vis <= 0.0
+                if live is not None:
+                    dead = ~live if dead is None else (dead | ~live)
+                if dead is not None:
+                    seed = jnp.where(dead, 0.0,
                                      jnp.full_like(vis, mesh_tmax))
                 blocked = _mesh_any_hit_generic(scene, cfg, p_off, mesh_dir,
                                                 mesh_tmax, mesh_sort, method,
