@@ -271,15 +271,27 @@ def _tile_super_candidates(tiles, n_ray_ops, nt, accel: PacketAccel,
     supers that no ray in the tile can touch are never DMA'd at all.
     """
     comps = [c.reshape(nt, TILE[0], TILE[1]) for c in tiles[:6]]
-    o_lo = jnp.stack([c.min((1, 2)) for c in comps[:3]], -1)  # (nt, 3)
-    o_hi = jnp.stack([c.max((1, 2)) for c in comps[:3]], -1)
-    d_lo = jnp.stack([c.min((1, 2)) for c in comps[3:6]], -1)
-    d_hi = jnp.stack([c.max((1, 2)) for c in comps[3:6]], -1)
     if n_ray_ops == 7:
-        seed = tiles[6].reshape(nt, -1)
-        tmax_t = jnp.minimum(seed, t_far).max(1)  # (nt,)
+        # lanes with a non-positive best-t seed are DEAD (already-decided
+        # shadow rays, parked miss lanes): exclude them from the interval
+        # family — one parked lane must not widen the tile's frustum to the
+        # whole scene. All-dead tiles get tmax 0 (mask all-false; the inf
+        # sentinels can surface as NaN slab bounds there, whose comparisons
+        # are false — harmless by construction).
+        seed = tiles[6].reshape(nt, TILE[0], TILE[1])
+        alive = seed > 0.0
+        inf = jnp.asarray(jnp.inf, tiles[0].dtype)
+        lo_of = lambda c: jnp.where(alive, c, inf).min((1, 2))
+        hi_of = lambda c: jnp.where(alive, c, -inf).max((1, 2))
+        tmax_t = jnp.where(alive, jnp.minimum(seed, t_far), 0.0).max((1, 2))
     else:
+        lo_of = lambda c: c.min((1, 2))
+        hi_of = lambda c: c.max((1, 2))
         tmax_t = jnp.full((nt,), t_far, tiles[0].dtype)
+    o_lo = jnp.stack([lo_of(c) for c in comps[:3]], -1)  # (nt, 3)
+    o_hi = jnp.stack([hi_of(c) for c in comps[:3]], -1)
+    d_lo = jnp.stack([lo_of(c) for c in comps[3:6]], -1)
+    d_hi = jnp.stack([hi_of(c) for c in comps[3:6]], -1)
 
     lo = accel.super_aabb[:, 0:3][None]  # (1, S, 3)
     hi = accel.super_aabb[:, 3:6][None]
