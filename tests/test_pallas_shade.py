@@ -131,6 +131,59 @@ def test_kernel_backward_matches_xla_pointlight():
     _assert_close(gk, gx)
 
 
+def test_kernel_backward_tile_classes():
+    """The kernel's per-tile class dispatch (full / mesh-only / miss-only)
+    must emit cotangents identical to the XLA backward on a batch that
+    contains one tile of EACH class (1024-ray tiles built explicitly)."""
+    scene, cfg = _small_mixed()
+    with jax.enable_x64(False):
+        cfg = cfg.replace(diff_vis=False, max_steps=64, pallas="on",
+                          block_size=0)
+        method = "mixed"
+        o0 = np.asarray(scene.camera.origin, np.float32)
+        rng = np.random.default_rng(7)
+
+        def dirs_to(targets):
+            d = targets - o0
+            return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+        # tile A: sky (straight up with jitter — hits nothing)
+        d_sky = dirs_to(o0 + np.stack([rng.uniform(-.2, .2, 1024),
+                                       np.full(1024, 5.0),
+                                       rng.uniform(-.2, .2, 1024)], -1))
+        # tile B: ground far from the SDF sphere (mesh-only)
+        tg = np.stack([rng.uniform(-3.0, -2.2, 1024),
+                       np.zeros(1024),
+                       rng.uniform(-3.0, -2.2, 1024)], -1)
+        d_mesh = dirs_to(tg)
+        # tile C: straight at the SDF sphere (sdf-selected)
+        c = np.asarray(scene.sdf.sph_center[0], np.float32)
+        tc = c + rng.uniform(-.2, .2, (1024, 3)).astype(np.float32) * 0.3
+        d_sdf = dirs_to(tc)
+
+        d = jnp.asarray(np.concatenate([d_sky, d_mesh, d_sdf]), jnp.float32)
+        o = jnp.broadcast_to(jnp.asarray(o0), d.shape)
+        res = rr.geometry_residuals(scene, cfg, o, d, method)
+        hs = np.asarray(res["sdf_hit"]).reshape(3, 1024)
+        hm = np.asarray(res["mesh_hit"]).reshape(3, 1024)
+        assert not hs[0].any() and not hm[0].any(), "tile A must be sky"
+        assert hm[1].all() and not hs[1].any(), "tile B must be mesh-only"
+        assert hs[2].any(), "tile C must select the SDF"
+
+        groups = GROUPS + ["mesh.verts", "sdf.sph_radius", "sdf.sph_center"]
+        params = extract_params(scene, groups)
+
+        def loss(fn, pp):
+            s = apply_params(scene, pp)
+            return jnp.mean(fn(s, cfg, o, d, res, method) ** 2)
+
+        gk = jax.jit(jax.grad(
+            lambda pp: loss(rr.shade_with_residuals, pp)))(params)
+        gx = jax.jit(jax.grad(lambda pp: loss(rr._shade_xla, pp)))(params)
+        _assert_close(jax.tree_util.tree_map(np.asarray, gk),
+                      jax.tree_util.tree_map(np.asarray, gx))
+
+
 def test_kernel_backward_gate_fallbacks():
     """Unsupported configurations must fall back to the XLA backward; the
     round-3 widening makes mixed/mesh/point-light configs applicable."""

@@ -116,9 +116,12 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
     ox, oy, oz, dx, dy, dz = rays[:6]
     zero = ox * 0.0
 
+    # the AO taps need the field even when the hit chain is mesh-only (a
+    # tile-class variant, or a mesh-method scene that still contains an SDF)
+    sdf = rebuild(ops) if (spec["use_sdf"] or spec["ao_sdf"]) else None
+
     # --- SDF branch: IFT t + ∇DE normal (render._sdf_from_res) -------------
     if spec["use_sdf"]:
-        sdf = rebuild(ops)
         sdf_sg = jax.tree_util.tree_map(
             lambda x: sg(x) if (hasattr(x, "dtype") and x.size > 0) else x, sdf)
         t_bar, hs_f = resid["t_bar"], resid["hs_f"]
@@ -138,8 +141,6 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
         # IFT value-identity: value t̄, gradient -∂DE/∂(θ,o,d)/(dDE/dt) on hits
         de_val = de_tile(sdf, bx, by, bz, unroll=True)
         ts = t_bar - hs_f * (de_val - sg(de_val)) / sg(denom_safe)
-    else:
-        sdf = None
 
     # --- Mesh branch: MT re-solve of the selected triangle -----------------
     # (moller_trumbore.recompute_hit on component tiles; corners are the
@@ -354,7 +355,8 @@ def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
     n_ray_ops = len(tiles)
     n_geom = 6 + (9 if spec["use_mesh"] else 0)  # differentiable ray tiles
 
-    ops, rebuild = _flatten_sdf(scene.sdf) if spec["use_sdf"] else ([], None)
+    ops, rebuild = (_flatten_sdf(scene.sdf)
+                    if spec["use_sdf"] or spec["ao_sdf"] else ([], None))
     param_keys, param_vals = _param_arrays(scene, dtype)
     diff_small = list(ops) + param_vals
     n_small = len(diff_small)
@@ -373,33 +375,95 @@ def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
         off += n_lights
         ctr, ctg, ctb = (ray_refs[off + i][:] for i in range(3))
         small_vals = [r[:] for r in small_refs]
+        # program_id must be read at the kernel top level (inside a pl.when
+        # branch it escapes the interpret-mode rewriter)
+        prog_i = pl.program_id(0)
 
-        def local(*diff_args):
-            ops_v = list(diff_args[:len(ops)])
-            prm = {k: v for k, v in zip(param_keys, diff_args[len(ops):n_small])}
-            rays = diff_args[n_small:]
-            # reorder: o/d first, then corner tiles (matches _local_shade)
-            return _local_shade(cfg, spec, rebuild, resid, ops_v, prm, rays)
+        def emit(cots):
+            """Write one tile's cotangents: accumulate the small operands
+            across the grid, store the per-ray blocks."""
+            # int leaves (material-id arrays) pull back float0 — store zeros
+            small_cots = [jnp.zeros(v.shape, dtype)
+                          if c.dtype == jax.dtypes.float0 else c
+                          for c, v in zip(cots[:n_small], small_vals)]
+            ray_cots = cots[n_small:]
+            i = prog_i
+            for k in range(n_small):
+                @pl.when(i == 0)
+                def _(k=k):
+                    out_small[k][...] = small_cots[k]
 
-        _, pullback = jax.vjp(local, *small_vals, *geom)
-        cots = pullback((ctr, ctg, ctb))
-        # int leaves (material-id arrays) pull back float0 — store zeros
-        small_cots = [jnp.zeros(v.shape, dtype)
-                      if c.dtype == jax.dtypes.float0 else c
-                      for c, v in zip(cots[:n_small], small_vals)]
-        ray_cots = cots[n_small:]
+                @pl.when(i != 0)
+                def _(k=k):
+                    out_small[k][...] = out_small[k][...] + small_cots[k]
+            for k in range(n_geom):
+                out_rays[k][...] = ray_cots[k]
 
-        i = pl.program_id(0)
-        for k in range(n_small):
-            @pl.when(i == 0)
-            def _(k=k):
-                out_small[k][...] = small_cots[k]
+        def run_variant(spec_v):
+            def local(*diff_args):
+                ops_v = list(diff_args[:len(ops)])
+                prm = {k: v for k, v in
+                       zip(param_keys, diff_args[len(ops):n_small])}
+                rays = diff_args[n_small:]
+                # reorder: o/d first, then corner tiles (_local_shade order)
+                return _local_shade(cfg, spec_v, rebuild, resid, ops_v, prm,
+                                    rays)
 
-            @pl.when(i != 0)
-            def _(k=k):
-                out_small[k][...] = out_small[k][...] + small_cots[k]
-        for k in range(n_geom):
-            out_rays[k][...] = ray_cots[k]
+            _, pullback = jax.vjp(local, *small_vals, *geom)
+            emit(pullback((ctr, ctg, ctb)))
+
+        def run_bg():
+            """Miss-only tile: output is the sky gradient alone, so only the
+            background colors and the ray direction carry cotangents — the
+            IFT/Hessian/MT chains are skipped entirely."""
+            def local_bg(*diff_args):
+                prm = {k: v for k, v in
+                       zip(param_keys, diff_args[len(ops):n_small])}
+                dy = diff_args[n_small + 4]
+                s_bg = 0.5 * (dy + 1.0)
+                bgt, bgb = prm["bg_top"], prm["bg_bottom"]
+                return tuple(bgb[c] + (bgt[c] - bgb[c]) * s_bg
+                             for c in range(3))
+
+            _, pullback = jax.vjp(local_bg, *small_vals, *geom)
+            emit(pullback((ctr, ctg, ctb)))
+
+        # Tile-class dispatch (the big backward win): the second-order DE
+        # chain (IFT + normal Hessian) only runs on tiles where an SDF hit is
+        # SELECTED; mesh-only tiles run the MT chain (+ first-order AO taps);
+        # miss-only tiles run the two-term sky pullback. 8x8-pixel tile
+        # coherence makes these classes common. Each variant's cotangents
+        # are exact: on a mesh-only tile the full chain's SDF contributions
+        # are zero (every path ends in an unselected jnp.where branch), and
+        # on a miss tile everything but the sky term is unselected.
+        if spec["mixed"]:
+            hit_any = jnp.any(
+                jnp.maximum(resid["hs_f"], resid["hm_f"]) > 0.5)
+            sdf_sel = jnp.any(resid["closer_f"] * resid["hs_f"] > 0.5)
+            mesh_spec = dict(spec, use_sdf=False, mixed=False)
+
+            @pl.when(sdf_sel)
+            def _():
+                run_variant(spec)
+
+            @pl.when(jnp.logical_not(sdf_sel) & hit_any)
+            def _():
+                run_variant(mesh_spec)
+
+            @pl.when(jnp.logical_not(hit_any))
+            def _():
+                run_bg()
+        else:
+            hit_any = jnp.any(
+                (resid["hs_f"] if spec["use_sdf"] else resid["hm_f"]) > 0.5)
+
+            @pl.when(hit_any)
+            def _():
+                run_variant(spec)
+
+            @pl.when(jnp.logical_not(hit_any))
+            def _():
+                run_bg()
 
     small_specs = [_full_spec(x) for x in diff_small]
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, dtype) for x in diff_small]
