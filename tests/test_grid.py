@@ -89,8 +89,29 @@ def test_rays_inside_grid_and_axis_parallel():
     np.testing.assert_allclose(np.asarray(g.t)[hits], np.asarray(b.t)[hits], rtol=1e-10)
 
 
-@pytest.mark.slow  # ~75 s: full-render oracle already covered per-kernel by
-# test_grid_matches_brute_random_scenes; runs in the --runslow gate
+def test_soup_render_grid_matches_brute_render():
+    """Cheap DEFAULT-gate end-to-end render oracle (ADVICE r3): the full
+    pipeline (raygen -> accel intersect -> shadows -> shade) on a small soup
+    scene, grid vs brute, f64. Keeps a full-pipeline regression gate in the
+    default run while the 70k-tri bunny variant stays in --runslow."""
+    from tpu_ray.render.render import render_image
+    from tpu_ray.scene.scenes import _base
+    from tpu_ray.render.camera import Camera
+    from tpu_ray.utils.config import RenderConfig
+
+    mesh = _soup(120, seed=21)
+    cam = Camera.make((0.0, 1.0, 5.5), (0.0, 0.0, 0.0), vfov_deg=50.0,
+                      dtype=jnp.float64)
+    scene = _base(jnp.float64, cam, mesh=mesh).with_grid()
+    cfg = RenderConfig(width=24, height=24, spp=1, shadow="hard",
+                       t_far=40.0, block_size=0)
+    img_grid = np.asarray(render_image(scene, cfg.replace(method="mesh_grid")))
+    img_brute = np.asarray(render_image(scene, cfg.replace(method="mesh_brute")))
+    np.testing.assert_allclose(img_grid, img_brute, atol=1e-10)
+
+
+@pytest.mark.slow  # ~75 s: the 70k-tri full-render oracle; the cheap default
+# variant above covers the same pipeline; runs in the --runslow gate
 def test_bunny_render_grid_matches_brute_render():
     # full-pipeline oracle at render level (BASELINE config 3, small frame)
     from tpu_ray.render.render import render_image

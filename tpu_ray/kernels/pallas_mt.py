@@ -315,7 +315,11 @@ def _tile_super_candidates(tiles, n_ray_ops, nt, accel: PacketAccel,
                            jnp.where(mixed, big, -big))
     tn = jnp.maximum(t_near_ax.max(-1), 0.0)  # (nt, S)
     tf = t_far_ax.min(-1)
-    mask = (tf >= tn) & (tn < tmax_t[:, None])
+    # the explicit tmax_t > 0 term excludes ALL-dead tiles (every lane
+    # 0-seeded) without relying on NaN propagation through the slab bounds
+    # (inf sentinels -> NaN tn/tf -> comparisons false happens to work, but
+    # an explicit guard is auditable)
+    mask = (tf >= tn) & (tn < tmax_t[:, None]) & (tmax_t[:, None] > 0.0)
     key = jnp.where(mask, tn, jnp.inf)
     cand = jnp.argsort(key, axis=1).astype(jnp.int32)  # front-to-back
     cnt = mask.sum(1, dtype=jnp.int32)  # (nt,)

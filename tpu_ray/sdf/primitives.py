@@ -128,8 +128,20 @@ def sdf_bounding_spheres(scene: SdfScene):
     primitives, or None if the scene contains unbounded ones (planes).
 
     Used by the Pallas march to skip whole ray tiles that cannot hit any SDF
-    primitive (packet-cull analog for the march). The canonical Mandelbulb
-    fits within radius ~1.2; 1.5x scale is used for safety margin.
+    primitive, and by the hard-shadow cull to clamp each lane's march at its
+    last bound exit (kernels/pallas_sdf.py).
+
+    Contract for the radii (what the culls actually require): r must bound
+    the region where the primitive's DE can fall below any march epsilon —
+    i.e. geometric extent PLUS the DE's underestimate margin. Sphere/box DEs
+    are exact, so extent alone suffices (callers add +eps). The Mandelbulb
+    DE (0.25·ln r·r/dr) is an UNDERESTIMATE: DE < eps can hold farther than
+    eps from the surface. Its geometric extent is ~1.22·scale and outside it
+    the DE recovers at least ~distance/4 (the standard fractal-DE bound), so
+    DE < eps implies distance-to-surface < 4·eps; the 1.5·scale radius
+    leaves a 0.28·scale apron, absorbing the underestimate for any
+    eps ≤ 0.07·scale — orders of magnitude above the 1e-3-ish march
+    epsilons in use. Keep that inequality in mind if shrinking the margin.
     """
     if scene.pln_normal.shape[0]:
         return None
