@@ -184,6 +184,37 @@ def test_kernel_backward_tile_classes():
                       jax.tree_util.tree_map(np.asarray, gx))
 
 
+@pytest.mark.parametrize("scene_name,method", [
+    ("sphere", "sdf"), ("triangles", "mesh_brute"), ("pointlight", "sdf")])
+def test_kernel_forward_matches_xla(scene_name, method):
+    """The fused Pallas FORWARD (round 4) must match the XLA shade chain it
+    mirrors to f32 reassociation tolerance, per method family. (The kernel
+    is exercised directly — _FWD_RULE_IMPL selects XLA by default because it
+    measured faster on chip, but the kernel stays a gated capability.)"""
+    scene, cfg = build_scene(scene_name, dtype=jnp.float32)
+    _assert_fwd_close(scene, cfg, method)
+
+
+def test_kernel_forward_matches_xla_mixed_ao():
+    scene, cfg = _small_mixed()
+    _assert_fwd_close(scene, cfg.replace(ao="sdf5"), "mixed")
+
+
+def _assert_fwd_close(scene, cfg, method, width=16):
+    with jax.enable_x64(False):
+        cfg = cfg.replace(width=width, height=width, spp=1, block_size=0,
+                          diff_vis=False, max_steps=64, pallas="on")
+        assert pallas_shade.applicable(scene, cfg, method, jnp.float32)
+        sx, sy = rr.pixel_sample_coords(cfg, jnp.float32)
+        o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(),
+                             width, width)
+        res = rr.geometry_residuals(scene, cfg, o, d, method)
+        a = np.asarray(pallas_shade.apply_fwd_kernel(scene, cfg, o, d, res,
+                                                     method))
+        b = np.asarray(rr._shade_xla(scene, cfg, o, d, res, method))
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
 def test_kernel_backward_gate_fallbacks():
     """Unsupported configurations must fall back to the XLA backward; the
     round-3 widening makes mixed/mesh/point-light configs applicable."""

@@ -206,6 +206,26 @@ def main():
         record(f"shade_bwd_{tag}", worst[1] < rel_tol,
                {"worst_group": worst[0], "worst_rel": worst[1]})
 
+    def shade_fwd_check(tag, scene, cfg, width=32, tol=1e-4):
+        """Round 4: the fused Pallas FORWARD shade vs the XLA chain on chip."""
+        cfg = cfg.replace(width=width, height=width, spp=1, block_size=0,
+                          diff_vis=False, pallas="on")
+        method = rr.resolve_method(scene, cfg)
+        if not pallas_shade.applicable(scene, cfg, method, jnp.float32):
+            record(f"shade_fwd_{tag}", False, {"applicable": False})
+            return
+        sx, sy = rr.pixel_sample_coords(cfg, jnp.float32)
+        o, d = generate_rays(scene.camera, sx.ravel(), sy.ravel(),
+                             width, width)
+        res = rr.geometry_residuals(scene, cfg, o, d, method)
+        a = np.asarray(jax.jit(
+            lambda: pallas_shade.apply_fwd_kernel(scene, cfg, o, d, res,
+                                                  method))())
+        b = np.asarray(jax.jit(
+            lambda: rr._shade_xla(scene, cfg, o, d, res, method))())
+        mx = float(np.abs(a - b).max())
+        record(f"shade_fwd_{tag}", mx < tol, {"max_abs": mx})
+
     groups_base = ["materials.albedo", "lights.color", "lights.direction",
                    "lights.ambient", "camera.origin", "camera.look_at"]
     s1, c1 = build_scene("sphere")
@@ -229,6 +249,12 @@ def main():
     shade_grad_check("mixed_headline", s5, c5,
                      groups_base + ["mesh.verts", "sdf.mb_scale"],
                      width=32, rel_tol=5e-2)
+
+    shade_fwd_check("sphere", s1, c1)
+    shade_fwd_check("mesh", s2, c2)
+    shade_fwd_check("pointlight", s4, c4)
+    # the fractal chain reassociates through 14 unrolled iterations in f32
+    shade_fwd_check("mixed_headline", s5, c5, tol=5e-3)
 
     # --- small frame goldens vs the scalar CPU oracle ------------------------
     for name in ("sphere", "pointlight", "mandelbulb", "mixed"):

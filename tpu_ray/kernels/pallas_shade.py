@@ -283,6 +283,16 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
 _PARAM_KEYS = ("albedo", "ldir", "lcol", "ambient", "bg_top", "bg_bottom",
                "lpos", "lpcol")
 
+# Which implementation the custom_vjp FWD RULE runs (and therefore what the
+# backward sweep recomputes under jax.checkpoint): "pallas" or "xla".
+# Measured on chip (mixed 1080p x 16 spp, round 4): the XLA chain wins both
+# contexts — pure fwd 45 vs 75 ms / 1M rays, full fwd+bwd 6.32 s vs 6.98 s —
+# because the Pallas forward's ~30-operand per-tile pipeline overhead exceeds
+# its fusion gains even on sky tiles. The kernel stays available (and parity-
+# gated) as the fallback-free fused variant; flip here if a future Mosaic
+# lowers the operand overhead.
+_FWD_RULE_IMPL = "xla"
+
 
 def _param_arrays(scene, dtype):
     vals = {"albedo": scene.materials.albedo,
@@ -299,18 +309,10 @@ def _param_arrays(scene, dtype):
     return keys, [jnp.asarray(vals[k], dtype) for k in keys]
 
 
-def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
-                     interpret: bool | None = None):
-    """One fused backward kernel: cotangents of the static-visibility shade
-    chain (sdf / mesh / mixed).
-
-    Inputs: primal rays o/d (R,3), geometry residuals `res`, stop-grad aux
-    residuals from the forward ({mat, closer?, v0..v2 corners?}), upstream
-    color cotangent ct (R,3). Returns (d_sdf_ops list, d_params dict,
-    d_o, d_d, d_corners (R,9) or None).
-    """
-    if interpret is None:
-        interpret = _use_interpret()
+def _pack_ray_cols(scene, cfg, o, d, res, aux, method: str):
+    """Shared operand packing for the fused shade kernels (fwd + bwd):
+    per-ray columns [o, d, corners?, residuals..., vis rows...] plus the
+    residual key order. Returns (ray_cols, resid_keys, spec, n_lights)."""
     dtype = o.dtype
     spec = _spec(scene, cfg, method)
     n_lights = spec["n_dir"] + spec["n_pos"]
@@ -337,7 +339,129 @@ def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
     for li in range(n_lights):
         ray_cols.append(sg(res["sh_vis"][li]).astype(dtype)
                         if have_vis else jnp.ones_like(ray_cols[0]))
-    ray_cols += [ct[:, 0], ct[:, 1], ct[:, 2]]
+    return ray_cols, resid_keys, spec, n_lights
+
+
+def shade_fwd_pallas(scene, cfg, o, d, res, aux, method: str,
+                     interpret: bool | None = None):
+    """Fused FORWARD shade kernel: (R,3) linear RGB from geometry residuals.
+
+    Same _local_shade chain the backward kernel VJPs, evaluated directly —
+    with the same tile-class dispatch (sdf-selected / mesh-only / miss-only),
+    so mesh and sky tiles skip the fractal DE chain entirely. This replaces
+    the dense XLA reconstruct+shade forward (measured ~1.25 s of the 1080p
+    mixed frame, re-paid in the backward's checkpoint recompute) with one
+    VMEM-resident kernel. Values match the XLA chain up to f32 fusion
+    reassociation (gated by tests + the on-chip parity check).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    dtype = o.dtype
+    ray_cols, resid_keys, spec, n_lights = _pack_ray_cols(
+        scene, cfg, o, d, res, aux, method)
+
+    tiles = []
+    R = nt = None
+    for c in ray_cols:
+        tc, R, nt = _tileize(c)
+        tiles.append(tc)
+    n_ray_ops = len(tiles)
+    n_geom = 6 + (9 if spec["use_mesh"] else 0)
+
+    ops, rebuild = (_flatten_sdf(scene.sdf)
+                    if spec["use_sdf"] or spec["ao_sdf"] else ([], None))
+    param_keys, param_vals = _param_arrays(scene, dtype)
+    small = list(ops) + param_vals
+    n_small = len(small)
+
+    def kernel(*refs):
+        ray_refs = refs[:n_ray_ops]
+        small_refs = refs[n_ray_ops:n_ray_ops + n_small]
+        out_rgb = refs[n_ray_ops + n_small:]
+
+        geom = [ray_refs[i][:] for i in range(n_geom)]
+        off = n_geom
+        resid = {k: ray_refs[off + i][:] for i, k in enumerate(resid_keys)}
+        off += len(resid_keys)
+        resid["vis_rows"] = [ray_refs[off + li][:] for li in range(n_lights)]
+        small_vals = [r[:] for r in small_refs]
+        ops_v = small_vals[:len(ops)]
+        prm = {k: v for k, v in zip(param_keys, small_vals[len(ops):])}
+
+        def emit(rgb):
+            for c in range(3):
+                out_rgb[c][...] = rgb[c]
+
+        def run_variant(spec_v):
+            emit(_local_shade(cfg, spec_v, rebuild, resid, ops_v, prm, geom))
+
+        def run_bg():
+            dy = geom[4]
+            s_bg = 0.5 * (dy + 1.0)
+            bgt, bgb = prm["bg_top"], prm["bg_bottom"]
+            emit(tuple(bgb[c] + (bgt[c] - bgb[c]) * s_bg for c in range(3)))
+
+        if spec["mixed"]:
+            hit_any = jnp.any(
+                jnp.maximum(resid["hs_f"], resid["hm_f"]) > 0.5)
+            sdf_sel = jnp.any(resid["closer_f"] * resid["hs_f"] > 0.5)
+            mesh_spec = dict(spec, use_sdf=False, mixed=False)
+
+            @pl.when(sdf_sel)
+            def _():
+                run_variant(spec)
+
+            @pl.when(jnp.logical_not(sdf_sel) & hit_any)
+            def _():
+                run_variant(mesh_spec)
+
+            @pl.when(jnp.logical_not(hit_any))
+            def _():
+                run_bg()
+        else:
+            hit_any = jnp.any(
+                (resid["hs_f"] if spec["use_sdf"] else resid["hm_f"]) > 0.5)
+
+            @pl.when(hit_any)
+            def _():
+                run_variant(spec)
+
+            @pl.when(jnp.logical_not(hit_any))
+            def _():
+                run_bg()
+
+    small_specs = [_full_spec(x) for x in small]
+    out_shapes = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype)
+                  for _ in range(3)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=_ray_specs(n_ray_ops) + small_specs,
+        out_specs=_ray_specs(3),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*tiles, *small)
+    return jnp.stack([r.reshape(-1)[:R] for r in outs], -1)
+
+
+def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
+                     interpret: bool | None = None):
+    """One fused backward kernel: cotangents of the static-visibility shade
+    chain (sdf / mesh / mixed).
+
+    Inputs: primal rays o/d (R,3), geometry residuals `res`, stop-grad aux
+    residuals from the forward ({mat, closer?, v0..v2 corners?}), upstream
+    color cotangent ct (R,3). Returns (d_sdf_ops list, d_params dict,
+    d_o, d_d, d_corners (R,9) or None).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    dtype = o.dtype
+    ray_cols, resid_keys, spec, n_lights = _pack_ray_cols(
+        scene, cfg, o, d, res, aux, method)
+    ray_cols = ray_cols + [ct[:, 0], ct[:, 1], ct[:, 2]]
 
     tiles = []
     R = nt = None
@@ -502,63 +626,94 @@ def _zero_cot(x):
     return None
 
 
-def make_shade_sdf_vjp(cfg, method: str, xla_shade):
-    """custom_vjp wrapper: XLA forward (unchanged), Pallas fused backward.
+def _make_aux(cfg, method: str, scene, o, d, res):
+    """Stop-grad aux residuals for the fused kernels: the hit material id,
+    the mixed closest-select mask, and the selected triangle's corners.
 
-    xla_shade(scene, cfg, o, d, res, method) is the existing shade body —
-    passed in to avoid a circular import with render.py.
+    The geometry pass already derives mat/closer while computing shadow
+    origins (render.geometry_residuals aux_out) — reading them from the
+    residual dict saves this (which re-runs in the backward sweep under
+    jax.checkpoint) a full DE re-evaluation and a recompute_hit per ray.
+    When shadows and AO are both off they are absent and get recomputed."""
+    from tpu_ray.kernels import moller_trumbore as mt
+    from tpu_ray.sdf.primitives import sdf_distance_and_mat
+
+    sg = jax.lax.stop_gradient
+    spec = _spec(scene, cfg, method)
+    aux = {}
+    have_saved = "hit_mat" in res
+    if spec["use_sdf"] and not have_saved:
+        p_bar = sg(o) + sg(res["sdf_t"])[..., None] * sg(d)
+        _, mat_s = sdf_distance_and_mat(sg(scene.sdf), p_bar)
+    if spec["use_mesh"]:
+        tri = res["mesh_tri"]
+        idx = jnp.clip(tri, 0, max(scene.mesh.num_tris - 1, 0))
+        triv = scene.mesh.tris[idx]  # (R, 3)
+        v0 = sg(scene.mesh.verts)[triv[..., 0]]
+        v1 = sg(scene.mesh.verts)[triv[..., 1]]
+        v2 = sg(scene.mesh.verts)[triv[..., 2]]
+        aux["corners"] = jnp.concatenate([v0, v1, v2], axis=-1)  # (R, 9)
+        if not have_saved:
+            mat_m = jnp.where(res["mesh_hit"], scene.mesh.tri_mat[idx], 0)
+    if have_saved:
+        aux["mat"] = res["hit_mat"]
+        if spec["mixed"]:
+            aux["closer"] = res["hit_closer"].astype(o.dtype)
+    elif spec["mixed"]:
+        tm_bar, _u, _v, _n = mt.recompute_hit(sg(scene.mesh), sg(o),
+                                              sg(d), tri)
+        ts_eff = jnp.where(res["sdf_hit"], sg(res["sdf_t"]), _BIG)
+        tm_eff = jnp.where(res["mesh_hit"], tm_bar, _BIG)
+        aux["closer"] = (ts_eff <= tm_eff).astype(o.dtype)
+        aux["mat"] = jnp.where(aux["closer"] > 0.5, mat_s, mat_m)
+    elif spec["use_sdf"]:
+        aux["mat"] = mat_s
+    else:
+        aux["mat"] = mat_m
+    return sg(aux)
+
+
+def apply_fwd_kernel(scene, cfg, o, d, res, method: str,
+                     interpret: bool | None = None):
+    """Run the fused FORWARD shade kernel directly (aux derived here) —
+    the entry tests and the on-chip parity gate use to exercise the kernel
+    regardless of which implementation _FWD_RULE_IMPL selects."""
+    aux = _make_aux(cfg, method, scene, o, d, res)
+    return shade_fwd_pallas(scene, cfg, o, d, res, aux, method,
+                            interpret=interpret)
+
+
+def make_shade_sdf_vjp(cfg, method: str, xla_shade):
+    """custom_vjp wrapper: XLA forward, Pallas fused backward.
+
+    xla_shade(scene, cfg, o, d, res, method) is the shade body — passed in
+    to avoid a circular import with render.py. The fused Pallas FORWARD
+    (shade_fwd_pallas) is available behind _FWD_RULE_IMPL; measured slower
+    than the XLA chain on chip (see the flag note), so XLA is the default
+    for both the primal and the fwd rule.
     """
+
+    make_aux = lambda scene, o, d, res: _make_aux(cfg, method, scene, o, d,
+                                                  res)
 
     @jax.custom_vjp
     def f(scene, o, d, res):
+        # pure-forward path (renders, the fwd half of value_and_grad):
+        # the fused XLA chain — measured FASTER than the Pallas forward
+        # kernel on chip (45 vs 75 ms / 1M rays; the kernel's ~30-operand
+        # per-tile pipeline overhead dominates its compute)
         return xla_shade(scene, cfg, o, d, res, method)
 
     def fwd(scene, o, d, res):
-        from tpu_ray.kernels import moller_trumbore as mt
-        from tpu_ray.sdf.primitives import sdf_distance_and_mat
-
-        sg = jax.lax.stop_gradient
-        spec = _spec(scene, cfg, method)
-        aux = {}
-        # stop-grad aux residuals. The geometry pass already derives the hit
-        # material and the mixed closest-select mask while computing shadow
-        # origins (render.geometry_residuals aux_out) — reading them from the
-        # residual dict saves this fwd (which re-runs in the backward sweep
-        # under jax.checkpoint) a full DE re-evaluation and a recompute_hit
-        # per ray. When shadows and AO are both off they are absent and get
-        # recomputed here.
-        have_saved = "hit_mat" in res
-        if spec["use_sdf"] and not have_saved:
-            p_bar = sg(o) + sg(res["sdf_t"])[..., None] * sg(d)
-            _, mat_s = sdf_distance_and_mat(sg(scene.sdf), p_bar)
-        if spec["use_mesh"]:
-            tri = res["mesh_tri"]
-            idx = jnp.clip(tri, 0, max(scene.mesh.num_tris - 1, 0))
-            triv = scene.mesh.tris[idx]  # (R, 3)
-            v0 = sg(scene.mesh.verts)[triv[..., 0]]
-            v1 = sg(scene.mesh.verts)[triv[..., 1]]
-            v2 = sg(scene.mesh.verts)[triv[..., 2]]
-            aux["corners"] = jnp.concatenate([v0, v1, v2], axis=-1)  # (R, 9)
-            if not have_saved:
-                mat_m = jnp.where(res["mesh_hit"],
-                                  scene.mesh.tri_mat[idx], 0)
-        if have_saved:
-            aux["mat"] = res["hit_mat"]
-            if spec["mixed"]:
-                aux["closer"] = res["hit_closer"].astype(o.dtype)
-        elif spec["mixed"]:
-            tm_bar, _u, _v, _n = mt.recompute_hit(sg(scene.mesh), sg(o),
-                                                  sg(d), tri)
-            ts_eff = jnp.where(res["sdf_hit"], sg(res["sdf_t"]), _BIG)
-            tm_eff = jnp.where(res["mesh_hit"], tm_bar, _BIG)
-            aux["closer"] = (ts_eff <= tm_eff).astype(o.dtype)
-            aux["mat"] = jnp.where(aux["closer"] > 0.5, mat_s, mat_m)
-        elif spec["use_sdf"]:
-            aux["mat"] = mat_s
+        # differentiation path: under jax.checkpoint this fwd IS the
+        # backward-sweep recompute, so it uses the cheaper-to-recompute
+        # variant (see _FWD_RULE_IMPL); values agree to f32 reassociation
+        aux = make_aux(scene, o, d, res)
+        if _FWD_RULE_IMPL == "pallas":
+            out = shade_fwd_pallas(scene, cfg, o, d, res, aux, method)
         else:
-            aux["mat"] = mat_m
-        aux = sg(aux)
-        return f(scene, o, d, res), (scene, o, d, res, aux)
+            out = xla_shade(scene, cfg, o, d, res, method)
+        return out, (scene, o, d, res, aux)
 
     def bwd(saved, ct):
         scene, o, d, res, aux = saved
