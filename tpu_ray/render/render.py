@@ -34,6 +34,27 @@ _IFT_ATTACH = make_ift_attach(sdf_distance)
 
 BIG = 1e10
 
+# HBM budget for skipping the backward-sweep shade recompute (see
+# render_pixels_flat): the fused-backward custom_vjp saves ~90 B/ray of
+# residuals; up to this total we keep them resident instead of
+# rematerializing the shade forward. 4 GB leaves >2/3 of a v5e chip's HBM
+# for the frame, accel and transients at 1080p x 16 spp (~3 GB saved).
+_NO_REMAT_BUDGET_BYTES = 4 << 30
+
+
+def _saved_bytes_per_ray(scene: Scene, method: str) -> int:
+    """Estimated bytes/ray the fused-backward custom_vjp saves (o, d, res,
+    aux) — used to decide whether the no-remat backward fits HBM."""
+    n = 24  # o + d
+    if _use_sdf(scene, method):
+        n += 4 + 1 + 4 + 4 + 4  # sdf_t, sdf_hit, sdf_tmin, hit_mat, aux mat
+    if _use_mesh(scene, method):
+        n += 4 + 1 + 36  # mesh_tri, mesh_hit, corners
+    if method == "mixed":
+        n += 1 + 4  # hit_closer, aux closer
+    n += 4 * max(1, scene.lights.num_shadowed)  # sh_vis rows
+    return n
+
 
 def resolve_method(scene: Scene, cfg: RenderConfig) -> str:
     if cfg.method != "auto":
@@ -561,19 +582,39 @@ def render_pixels_flat(scene: Scene, cfg: RenderConfig, flat_x, flat_y,
     def spp_mean_T(colors):
         return colors.reshape(-1, cfg.spp, 3).mean(1).T  # (3, n_px_block)
 
+    def raygen(xy):
+        return generate_rays(scene.camera, xy[0], xy[1], cfg.width,
+                             cfg.height)
+
     def shade_part(xy, res):
-        # rays regenerate inside the rematerialized region (camera gradients
-        # flow through ray gen; saving o/d would cost 6 floats/ray of HBM)
-        o, d = generate_rays(scene.camera, xy[0], xy[1], cfg.width, cfg.height)
+        # ray-gen internals always rematerialize (camera gradients flow
+        # through it; its o/d outputs are what the shade VJP keeps)
+        o, d = jax.checkpoint(raygen)(xy)
         return spp_mean_T(shade_with_residuals(scene, cfg, o, d, res, method))
+
+    # Rematerialization policy for the backward sweep (round 4): when the
+    # fused Pallas backward applies, its custom_vjp already saves only
+    # compact per-ray residuals (o, d, res, aux ≈ 90 B/ray for the mixed
+    # chain), so re-running the shade forward under jax.checkpoint buys no
+    # memory worth its cost — measured 6.39 s -> target ~5 s on the 1080p
+    # frame. Keep the checkpoint when the XLA-autodiff backward is in play
+    # (its saved intermediates are the whole shade chain) or when even the
+    # compact residuals would not fit HBM (very large frames).
+    from tpu_ray.kernels import pallas_shade
+
+    fused_bwd = pallas_shade.applicable(scene, cfg, method, flat_x.dtype)
+    save_bytes = flat_x.shape[0] * _saved_bytes_per_ray(scene, method)
+    use_ckpt = (not fused_bwd) or save_bytes > _NO_REMAT_BUDGET_BYTES
 
     def block_fn(xy):
         # geometry OUTSIDE the checkpoint: its outputs are the residuals the
         # backward keeps, so marches/intersections never re-run in the
-        # backward sweep — only the cheap shade chain is rematerialized
-        o, d = generate_rays(scene.camera, xy[0], xy[1], cfg.width, cfg.height)
+        # backward sweep — at most the cheap shade chain is rematerialized
+        o, d = raygen(xy)
         res = geometry_residuals(scene, cfg, o, d, method)
-        return jax.checkpoint(shade_part)(xy, res)
+        if use_ckpt:
+            return jax.checkpoint(shade_part)(xy, res)
+        return shade_part(xy, res)
 
     R = flat_x.shape[0]
     n_px = R // cfg.spp
