@@ -446,46 +446,29 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
                     sems.at[slot, 1]),
             )
 
-        def issue_active(k):
-            """Slab-test candidate k's super (VMEM-resident AABBs) against
-            the CURRENT best BEFORE issuing its DMA: a candidate no lane can
-            improve never streams and never branches again (round 4). Safe
-            because best_t only shrinks — a cull decided at issue time stays
-            valid at process time. Any-hit tiles whose lanes are all blocked
-            (best = 0) skip every remaining candidate's DMA this way.
-
-            k is clamped in-range: callers mask the result with k < n_cand,
-            but & does NOT short-circuit — an unclamped cand_ref[i, n_cand]
-            read would be out-of-bounds SMEM when n_cand == S (kernel
-            fault on real hardware)."""
-            si_k = cand_ref[i, jnp.clip(k, 0, n_supers - 1)]
-            sab_k = sup_ref[pl.ds(si_k, 1), :]
-            return jnp.any(slab(sab_k, current_best()))
-
-        act0 = (n_cand > 0) & issue_active(0)
-
-        @pl.when(act0)
+        @pl.when(n_cand > 0)
         def _():
             for c in dmas(0, cand_ref[i, 0]):
                 c.start()
 
-        def body(k, started):
+        def body(k, _):
             slot = jax.lax.rem(k, jnp.int32(2))
             si = cand_ref[i, k]
 
-            act_next = (k + 1 < n_cand) & issue_active(k + 1)
-
-            @pl.when(act_next)
+            @pl.when(k + 1 < n_cand)
             def _():  # issue next stream before touching this one
                 for c in dmas(jax.lax.rem(k + 1, jnp.int32(2)),
                               cand_ref[i, k + 1]):
                     c.start()
 
-            @pl.when(started)
-            def _():
-                for c in dmas(slot, si):
-                    c.wait()
+            for c in dmas(slot, si):
+                c.wait()
 
+            sab = sup_ref[pl.ds(si, 1), :]
+            s_active = slab(sab, current_best())
+
+            @pl.when(jnp.any(s_active))
+            def _():
                 def chunk_inner(k2, _):
                     # TWO chunks per branch decision (VERDICT r2 item 4): the
                     # any-lane reduce + scalar branch costs ~hundreds of
@@ -522,9 +505,9 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
 
                 jax.lax.fori_loop(0, SUPER // 2, chunk_inner, 0)
 
-            return act_next
+            return 0
 
-        jax.lax.fori_loop(0, n_cand, body, act0)
+        jax.lax.fori_loop(0, n_cand, body, 0)
 
     out_shape = [
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),

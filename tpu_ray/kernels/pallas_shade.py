@@ -698,10 +698,7 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
 
     @jax.custom_vjp
     def f(scene, o, d, res):
-        # pure-forward path (renders, the fwd half of value_and_grad):
-        # the fused XLA chain — measured FASTER than the Pallas forward
-        # kernel on chip (45 vs 75 ms / 1M rays; the kernel's ~30-operand
-        # per-tile pipeline overhead dominates its compute)
+        # pure-forward path (renders, the fwd half of value_and_grad)
         return xla_shade(scene, cfg, o, d, res, method)
 
     def fwd(scene, o, d, res):

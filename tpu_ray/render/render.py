@@ -373,6 +373,10 @@ def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
         res["hit_mat"] = aux["mat"]
         if "closer" in aux:
             res["hit_closer"] = aux["closer"]
+        # (A hit-state value cache for the pure-forward shade was tried in
+        # round 4 and reverted: XLA already CSEs this lite reconstruct with
+        # the shade pass's reconstruct inside the same jit, so caching t/n
+        # as residuals measured as a no-op on the 1080p frame.)
         n = jnp.where(dot(n, d)[..., None] > 0.0, -n, n)
         p_off = p + cfg.shadow_bias * n
         # Miss lanes: without soft silhouettes their shadow/AO values never
@@ -524,7 +528,7 @@ def shade_with_residuals(scene: Scene, cfg: RenderConfig, o, d, res,
                          method: str) -> jnp.ndarray:
     """Differentiable shade of a flat ray batch from geometry residuals.
 
-    For the pure-SDF shade chain on TPU, the backward pass is the
+    For the static-visibility shade chains on TPU, the backward pass is the
     hand-written fused Pallas kernel (kernels/pallas_shade.py) — the forward
     value is the identical XLA computation either way."""
     from tpu_ray.kernels import pallas_shade
