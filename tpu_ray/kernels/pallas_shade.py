@@ -626,7 +626,7 @@ def _zero_cot(x):
     return None
 
 
-def _make_aux(cfg, method: str, scene, o, d, res):
+def _make_aux(cfg, method: str, scene, o, d, res, corners=None):
     """Stop-grad aux residuals for the fused kernels: the hit material id,
     the mixed closest-select mask, and the selected triangle's corners.
 
@@ -634,7 +634,13 @@ def _make_aux(cfg, method: str, scene, o, d, res):
     origins (render.geometry_residuals aux_out) — reading them from the
     residual dict saves this (which re-runs in the backward sweep under
     jax.checkpoint) a full DE re-evaluation and a recompute_hit per ray.
-    When shadows and AO are both off they are absent and get recomputed."""
+    When shadows and AO are both off they are absent and get recomputed.
+
+    corners: the (R, 9) selected-corner gather when the caller already did
+    it (render.shade_with_residuals routes it through the per-triangle
+    corner matrix so its transpose scatters by triangle, not vertex —
+    stop-gradded here; the DIFFERENTIABLE copy is the custom_vjp argument).
+    """
     from tpu_ray.kernels import moller_trumbore as mt
     from tpu_ray.sdf.primitives import sdf_distance_and_mat
 
@@ -648,11 +654,14 @@ def _make_aux(cfg, method: str, scene, o, d, res):
     if spec["use_mesh"]:
         tri = res["mesh_tri"]
         idx = jnp.clip(tri, 0, max(scene.mesh.num_tris - 1, 0))
-        triv = scene.mesh.tris[idx]  # (R, 3)
-        v0 = sg(scene.mesh.verts)[triv[..., 0]]
-        v1 = sg(scene.mesh.verts)[triv[..., 1]]
-        v2 = sg(scene.mesh.verts)[triv[..., 2]]
-        aux["corners"] = jnp.concatenate([v0, v1, v2], axis=-1)  # (R, 9)
+        if corners is not None:
+            aux["corners"] = corners  # (R, 9)
+        else:
+            triv = scene.mesh.tris[idx]  # (R, 3)
+            v0 = sg(scene.mesh.verts)[triv[..., 0]]
+            v1 = sg(scene.mesh.verts)[triv[..., 1]]
+            v2 = sg(scene.mesh.verts)[triv[..., 2]]
+            aux["corners"] = jnp.concatenate([v0, v1, v2], axis=-1)
         if not have_saved:
             mat_m = jnp.where(res["mesh_hit"], scene.mesh.tri_mat[idx], 0)
     if have_saved:
@@ -693,19 +702,28 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
     for both the primal and the fwd rule.
     """
 
-    make_aux = lambda scene, o, d, res: _make_aux(cfg, method, scene, o, d,
-                                                  res)
+    # `corners` is the differentiable (R, 9) selected-corner gather done by
+    # the CALLER through the per-triangle corner matrix (render.corner_matrix
+    # / verts3): d_corners then transposes to an R-row scatter BY TRIANGLE
+    # per block plus one per-frame triangle->vertex conversion — measured
+    # 2.74 -> 0.99 ms per 64k block vs scattering straight to vertices here.
+    # All vertex gradient flows through it; scene.mesh.verts gets a zero
+    # cotangent from this vjp. None for mesh-less chains.
 
     @jax.custom_vjp
-    def f(scene, o, d, res):
-        # pure-forward path (renders, the fwd half of value_and_grad)
+    def f(scene, o, d, corners, res):
+        # pure-forward path (renders, the fwd half of value_and_grad);
+        # `corners` is unused by the XLA chain (it re-derives hit state
+        # from scene.mesh), so its gather is DCE'd outside differentiation
         return xla_shade(scene, cfg, o, d, res, method)
 
-    def fwd(scene, o, d, res):
+    def fwd(scene, o, d, corners, res):
         # differentiation path: under jax.checkpoint this fwd IS the
         # backward-sweep recompute, so it uses the cheaper-to-recompute
         # variant (see _FWD_RULE_IMPL); values agree to f32 reassociation
-        aux = make_aux(scene, o, d, res)
+        aux = _make_aux(cfg, method, scene, o, d, res,
+                        corners=jax.lax.stop_gradient(corners)
+                        if corners is not None else None)
         if _FWD_RULE_IMPL == "pallas":
             out = shade_fwd_pallas(scene, cfg, o, d, res, aux, method)
         else:
@@ -748,21 +766,14 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
             bg_top=zeros("bg_top", scene.bg_top),
             bg_bottom=zeros("bg_bottom", scene.bg_bottom))
 
-        if spec["use_mesh"] and d_corners is not None:
-            # per-ray corner cotangents -> vertex gradients: the gather's
-            # transpose is a scatter-add, done here in XLA (Mosaic has no
-            # general scatter; this is the one sparse op in the chain)
-            idx = jnp.clip(res["mesh_tri"], 0, max(scene.mesh.num_tris - 1, 0))
-            triv = scene.mesh.tris[idx]  # (R, 3)
-            d_verts = jnp.zeros_like(scene.mesh.verts)
-            for k in range(3):
-                d_verts = d_verts.at[triv[..., k]].add(
-                    d_corners[:, 3 * k:3 * k + 3])
-            d_scene = d_scene.replace(
-                mesh=d_scene.mesh.replace(verts=d_verts))
-
+        # the per-ray corner cotangent goes back through the `corners`
+        # argument: XLA transposes the caller's verts3[idx] gather into the
+        # by-triangle scatter, and corner_matrix's transpose converts
+        # triangle->vertex once per frame (render.shade_with_residuals)
+        d_corners_arg = (d_corners if spec["use_mesh"] and d_corners is not None
+                         else None)
         d_res = jax.tree_util.tree_map(_zero_cot, res)
-        return d_scene, d_o, d_d, d_res
+        return d_scene, d_o, d_d, d_corners_arg, d_res
 
     f.defvjp(fwd, bwd)
     return f
