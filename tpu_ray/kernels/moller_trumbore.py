@@ -123,6 +123,13 @@ def recompute_hit(mesh: MeshScene, o, d, tri_idx):
     v0 = mesh.verts[tri[..., 0]]
     v1 = mesh.verts[tri[..., 1]]
     v2 = mesh.verts[tri[..., 2]]
+    return recompute_hit_corners(v0, v1, v2, o, d)
+
+
+def recompute_hit_corners(v0, v1, v2, o, d):
+    """recompute_hit's MT re-solve from already-gathered corners — shared by
+    the classic per-array gather path and the packed row-table path
+    (render.mesh_table), so both are bitwise the same math."""
     e1 = v1 - v0
     e2 = v2 - v0
     pvec = cross(d, e2)

@@ -711,13 +711,16 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
     # cotangent from this vjp. None for mesh-less chains.
 
     @jax.custom_vjp
-    def f(scene, o, d, corners, res):
+    def f(scene, o, d, corners, res, mesh_rows):
         # pure-forward path (renders, the fwd half of value_and_grad);
-        # `corners` is unused by the XLA chain (it re-derives hit state
-        # from scene.mesh), so its gather is DCE'd outside differentiation
-        return xla_shade(scene, cfg, o, d, res, method)
+        # `corners` is unused by the XLA chain (mesh_rows already carries
+        # the packed rows), so its gather is DCE'd outside differentiation.
+        # mesh_rows rides as an explicit arg (closing over a traced array in
+        # a custom_vjp would break) with a DECLARED zero cotangent — all
+        # vertex gradient flows through `corners`.
+        return xla_shade(scene, cfg, o, d, res, method, mesh_rows=mesh_rows)
 
-    def fwd(scene, o, d, corners, res):
+    def fwd(scene, o, d, corners, res, mesh_rows):
         # differentiation path: under jax.checkpoint this fwd IS the
         # backward-sweep recompute, so it uses the cheaper-to-recompute
         # variant (see _FWD_RULE_IMPL); values agree to f32 reassociation
@@ -727,11 +730,13 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
         if _FWD_RULE_IMPL == "pallas":
             out = shade_fwd_pallas(scene, cfg, o, d, res, aux, method)
         else:
-            out = xla_shade(scene, cfg, o, d, res, method)
-        return out, (scene, o, d, res, aux)
+            out = xla_shade(scene, cfg, o, d, res, method,
+                            mesh_rows=jax.lax.stop_gradient(mesh_rows)
+                            if mesh_rows is not None else None)
+        return out, (scene, o, d, res, aux, mesh_rows)
 
     def bwd(saved, ct):
-        scene, o, d, res, aux = saved
+        scene, o, d, res, aux, mesh_rows = saved
         spec = _spec(scene, cfg, method)
         d_ops, d_params, d_o, d_d, d_corners = shade_bwd_pallas(
             scene, cfg, o, d, res, aux, ct, method)
@@ -773,7 +778,8 @@ def make_shade_sdf_vjp(cfg, method: str, xla_shade):
         d_corners_arg = (d_corners if spec["use_mesh"] and d_corners is not None
                          else None)
         d_res = jax.tree_util.tree_map(_zero_cot, res)
-        return d_scene, d_o, d_d, d_corners_arg, d_res
+        d_rows = None if mesh_rows is None else jnp.zeros_like(mesh_rows)
+        return d_scene, d_o, d_d, d_corners_arg, d_res, d_rows
 
     f.defvjp(fwd, bwd)
     return f

@@ -277,18 +277,31 @@ def _sdf_from_res(scene: Scene, cfg: RenderConfig, o, d, res, lite=False):
     return t, hit, p, n, mat, cov
 
 
-def _mesh_from_res(scene: Scene, cfg: RenderConfig, o, d, res):
-    """Differentiable mesh hit state from the saved triangle index."""
+def _mesh_from_res(scene: Scene, cfg: RenderConfig, o, d, res,
+                   mesh_rows=None):
+    """Differentiable mesh hit state from the saved triangle index.
+
+    mesh_rows: optional packed (T, 10) per-triangle table (mesh_table) —
+    ONE row gather replaces the five separate gathers (tris + 3 verts +
+    tri_mat), which dominate this reconstruct's cost on chip (gather cost is
+    ~per row): measured 1.13 s -> 0.68 s for the 1080p mixed reconstruct."""
     tri, hit = res["mesh_tri"], res["mesh_hit"]
-    t, _u, _v, n = mt.recompute_hit(scene.mesh, o, d, tri)
+    if mesh_rows is not None:
+        rows = mesh_rows[jnp.clip(tri, 0, mesh_rows.shape[0] - 1)]  # (R, 10)
+        t, _u, _v, n = mt.recompute_hit_corners(
+            rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], o, d)
+        mat = jnp.where(hit, rows[:, 9].astype(jnp.int32), 0)
+    else:
+        t, _u, _v, n = mt.recompute_hit(scene.mesh, o, d, tri)
+        mat = jnp.where(hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
     t = jnp.where(hit, t, BIG)
     p = o + t[..., None] * d
-    mat = jnp.where(hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
     return t, hit, p, n, mat, hit.astype(o.dtype)
 
 
 def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str,
-                     aux_out: dict | None = None, lite: bool = False):
+                     aux_out: dict | None = None, lite: bool = False,
+                     mesh_rows=None):
     """Differentiable (t, hit, p, n, mat, cov) from geometry residuals.
 
     aux_out: optional dict that receives stop-gradient by-products the fused
@@ -305,13 +318,14 @@ def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str,
             aux_out["mat"] = out[4]
         return out
     if method in ("mesh_brute", "mesh_grid"):
-        out = _mesh_from_res(scene, cfg, o, d, res)
+        out = _mesh_from_res(scene, cfg, o, d, res, mesh_rows=mesh_rows)
         if aux_out is not None:
             aux_out["mat"] = out[4]
         return out
     if method == "mixed":
         ts, hs, ps, ns, ms, cs = _sdf_from_res(scene, cfg, o, d, res, lite=lite)
-        tm, hm, pm, nm, mm, cm = _mesh_from_res(scene, cfg, o, d, res)
+        tm, hm, pm, nm, mm, cm = _mesh_from_res(scene, cfg, o, d, res,
+                                                mesh_rows=mesh_rows)
         ts_eff = jnp.where(hs, ts, BIG)
         tm_eff = jnp.where(hm, tm, BIG)
         sdf_closer = ts_eff <= tm_eff
@@ -329,7 +343,8 @@ def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str,
     raise ValueError(f"unknown method {method!r}")
 
 
-def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
+def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str,
+                       mesh_rows=None):
     """Stop-gradient geometry pass -> dict of compact per-ray residuals.
 
     Keys (all leading shape (R,) unless noted):
@@ -367,9 +382,10 @@ def geometry_residuals(scene: Scene, cfg: RenderConfig, o, d, method: str):
         # emitted as residuals so the fused Pallas backward's forward pass
         # never re-derives them (pallas_shade.make_shade_sdf_vjp fwd).
         aux = {}
-        _t, _hit, p, n, _mat, _cov = reconstruct_hits(scene, cfg, o, d, res,
-                                                      method, aux_out=aux,
-                                                      lite=True)
+        _t, _hit, p, n, _mat, _cov = reconstruct_hits(
+            scene, cfg, o, d, res, method, aux_out=aux, lite=True,
+            mesh_rows=jax.lax.stop_gradient(mesh_rows)
+            if mesh_rows is not None else None)
         res["hit_mat"] = aux["mat"]
         if "closer" in aux:
             res["hit_closer"] = aux["closer"]
@@ -525,45 +541,51 @@ def trace_rays(scene: Scene, cfg: RenderConfig, o, d, method: str):
 
 
 def shade_with_residuals(scene: Scene, cfg: RenderConfig, o, d, res,
-                         method: str, verts3=None) -> jnp.ndarray:
+                         method: str, mesh_rows=None) -> jnp.ndarray:
     """Differentiable shade of a flat ray batch from geometry residuals.
 
     For the static-visibility shade chains on TPU, the backward pass is the
     hand-written fused Pallas kernel (kernels/pallas_shade.py) — the forward
     value is the identical XLA computation either way.
 
-    verts3: optional (T, 9) per-triangle corner matrix (corner_matrix),
-    hoisted per frame by render_pixels_flat so the vertex-gradient scatter
-    factors through triangles — per ray block the corner gather transposes
-    to ONE (R -> T) row scatter, and the (T -> V) conversion happens once
-    per frame in corner_matrix's own transpose. Measured 2.74 -> 0.99
-    ms/block on chip (TPU scatter-add cost is ~per update row)."""
+    mesh_rows: optional (T, 10) packed per-triangle table (mesh_table),
+    hoisted per frame by render_pixels_flat. Two wins ride on it: (a) the
+    reconstruct's five per-triangle gathers collapse to one row gather
+    (gather cost is ~per row on TPU); (b) the vertex-gradient scatter
+    factors through triangles — per ray block the corners gather transposes
+    to ONE (R -> T) row scatter (2.74 -> 0.99 ms/block measured), and the
+    (T -> V) conversion happens once per frame in mesh_table's own
+    transpose."""
     from tpu_ray.kernels import pallas_shade
 
     if pallas_shade.applicable(scene, cfg, method, o.dtype):
         corners = None
+        rows_tbl = None
         if _use_mesh(scene, method) and scene.has_mesh:
-            v3 = verts3 if verts3 is not None else corner_matrix(scene.mesh)
-            idx = jnp.clip(res["mesh_tri"], 0,
-                           max(scene.mesh.num_tris - 1, 0))
-            corners = v3[idx]  # (R, 9) differentiable
+            rows_tbl = (mesh_rows if mesh_rows is not None
+                        else mesh_table(scene.mesh))
+            idx = jnp.clip(res["mesh_tri"], 0, rows_tbl.shape[0] - 1)
+            corners = rows_tbl[idx][:, 0:9]  # (R, 9) differentiable
         f = pallas_shade.make_shade_sdf_vjp(cfg, method, _shade_xla)
-        return f(scene, o, d, corners, res)
-    return _shade_xla(scene, cfg, o, d, res, method)
+        return f(scene, o, d, corners, res, rows_tbl)
+    return _shade_xla(scene, cfg, o, d, res, method, mesh_rows=mesh_rows)
 
 
-def corner_matrix(mesh) -> jnp.ndarray:
-    """(T, 9) differentiable per-triangle corner matrix [v0|v1|v2] — the
-    frame-level gather whose transpose is the once-per-frame triangle->vertex
-    gradient conversion (see shade_with_residuals verts3)."""
+def mesh_table(mesh) -> jnp.ndarray:
+    """(T, 10) differentiable packed per-triangle table [v0|v1|v2|mat] — the
+    frame-level gather whose transpose is the once-per-frame
+    triangle->vertex gradient conversion (see shade_with_residuals)."""
     v, t = mesh.verts, mesh.tris
-    return jnp.concatenate([v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]], axis=-1)
+    return jnp.concatenate(
+        [v[t[:, 0]], v[t[:, 1]], v[t[:, 2]],
+         mesh.tri_mat[:, None].astype(v.dtype)], axis=-1)
 
 
 def _shade_xla(scene: Scene, cfg: RenderConfig, o, d, res,
-               method: str) -> jnp.ndarray:
+               method: str, mesh_rows=None) -> jnp.ndarray:
     """The shade computation itself (XLA autodiff path / forward value)."""
-    t, hit, p, n, mat, cov = reconstruct_hits(scene, cfg, o, d, res, method)
+    t, hit, p, n, mat, cov = reconstruct_hits(scene, cfg, o, d, res, method,
+                                              mesh_rows=mesh_rows)
     occluder = make_residual_occluder(scene, cfg, res, method)
     ao_fn = make_ao(scene, cfg, res, method)
     return shading.shade(scene, cfg, p, n, d, mat, hit, occluder, ao_fn,
@@ -583,8 +605,10 @@ def render_rays(scene: Scene, cfg: RenderConfig, o, d, method: str | None = None
     """Trace + shade a flat ray batch: (R, 3),(R, 3) -> (R, 3) linear RGB."""
     scene = _realize(scene)
     method = method or resolve_method(scene, cfg)
-    res = geometry_residuals(scene, cfg, o, d, method)
-    return shade_with_residuals(scene, cfg, o, d, res, method)
+    rows = (mesh_table(scene.mesh)
+            if _use_mesh(scene, method) and scene.has_mesh else None)
+    res = geometry_residuals(scene, cfg, o, d, method, mesh_rows=rows)
+    return shade_with_residuals(scene, cfg, o, d, res, method, mesh_rows=rows)
 
 
 def render_pixels_flat(scene: Scene, cfg: RenderConfig, flat_x, flat_y,
@@ -624,26 +648,26 @@ def render_pixels_flat(scene: Scene, cfg: RenderConfig, flat_x, flat_y,
     fused_bwd = pallas_shade.applicable(scene, cfg, method, flat_x.dtype)
     save_bytes = flat_x.shape[0] * _saved_bytes_per_ray(scene, method)
     use_ckpt = (not fused_bwd) or save_bytes > _NO_REMAT_BUDGET_BYTES
-    # frame-level corner matrix: hoists the triangle->vertex half of the
-    # vertex-gradient scatter out of the per-block backward (see
-    # shade_with_residuals); DCE'd in pure-forward renders
-    verts3 = (corner_matrix(scene.mesh)
-              if fused_bwd and _use_mesh(scene, method) and scene.has_mesh
-              else None)
+    # frame-level packed triangle table: one row gather per block instead of
+    # five, and the triangle->vertex half of the vertex-gradient scatter
+    # hoists out of the per-block backward (see shade_with_residuals)
+    mesh_rows = (mesh_table(scene.mesh)
+                 if _use_mesh(scene, method) and scene.has_mesh else None)
 
     def shade_part(xy, res):
         # ray-gen internals always rematerialize (camera gradients flow
         # through it; its o/d outputs are what the shade VJP keeps)
         o, d = jax.checkpoint(raygen)(xy)
         return spp_mean_T(shade_with_residuals(scene, cfg, o, d, res, method,
-                                               verts3=verts3))
+                                               mesh_rows=mesh_rows))
 
     def block_fn(xy):
         # geometry OUTSIDE the checkpoint: its outputs are the residuals the
         # backward keeps, so marches/intersections never re-run in the
         # backward sweep — at most the cheap shade chain is rematerialized
         o, d = raygen(xy)
-        res = geometry_residuals(scene, cfg, o, d, method)
+        res = geometry_residuals(scene, cfg, o, d, method,
+                                 mesh_rows=mesh_rows)
         if use_ckpt:
             return jax.checkpoint(shade_part)(xy, res)
         return shade_part(xy, res)
