@@ -17,6 +17,8 @@ recompute happens outside against the original mesh.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -26,7 +28,14 @@ from tpu_ray.accel.packet import (CHUNK, ROWS_PER_CHUNK, SUPER,
                                   VMEM_BUDGET_BYTES, PacketAccel)
 from tpu_ray.kernels.moller_trumbore import BIG, TriHit, _DET_EPS, _T_MIN
 
-TILE = (8, 128)
+# Ray-tile shape. Sublane count (rows) trades per-ray fixed cost against cull
+# granularity: a taller tile amortizes the per-chunk any-lane reduce + scalar
+# branch and the per-super DMA over more rays, but its frustum is the union
+# of more pixels, so more chunks pass the slab tests. Measured on chip
+# (tools/ab_tile_rows.py, tools/ab_mixed_fwd.py): 16 rows beats 8 by ~1.4x on
+# the raw 70k/1M-tri kernels AND end-to-end (mixed 1080p fwd 3.62 -> 2.91 s);
+# 32 is a wash (mixed -2%, knot1m +3%). Env-tunable for A/B.
+TILE = (int(os.environ.get("TPU_RAY_MT_TILE_ROWS", "16")), 128)
 TILE_RAYS = TILE[0] * TILE[1]
 
 # Scoped SMEM for scalar-prefetch operands is ~1 MB per core (measured on
