@@ -120,8 +120,33 @@ def run_bench(scene_name: str = "mixed", backward: bool = True,
         def loss(pp):
             return jnp.mean(render_image(apply_params(scene, pp), cfg_b) ** 2)
 
-        bwd = jax.jit(jax.grad(loss))
-        _, bwd_s = block_and_time(bwd, params, warmup=warmup, iters=max(iters - 1, 1))
+        if persistent:
+            # dispatch-bound small frames: K fwd+bwd passes in ONE dispatch
+            # (grad of the mean over the turntable origins backprops through
+            # every frame of the lax.map), mirroring the forward measurement
+            k = origins.shape[0]
+            # parameterize each frame's origin as param + turntable DELTA so
+            # the camera.origin gradient still flows through every frame
+            deltas = jax.lax.stop_gradient(origins - o0)
+
+            def loss_k(pp):
+                s2 = apply_params(scene, pp)
+
+                def frame(delta):
+                    s3 = s2.replace(camera=s2.camera.replace(
+                        origin=s2.camera.origin + delta))
+                    return jnp.mean(render_image(s3, cfg_b) ** 2)
+
+                return jnp.mean(jax.lax.map(frame, deltas))
+
+            bwd = jax.jit(jax.grad(loss_k))
+            _, bwd_k = block_and_time(bwd, params, warmup=warmup,
+                                      iters=max(iters - 1, 1))
+            bwd_s = bwd_k / k
+        else:
+            bwd = jax.jit(jax.grad(loss))
+            _, bwd_s = block_and_time(bwd, params, warmup=warmup,
+                                      iters=max(iters - 1, 1))
         result["fwdbwd_seconds"] = round(bwd_s, 4)
         result["mrays_fwdbwd"] = round(mrays_per_sec(rays, bwd_s) / n_chips, 4)
 

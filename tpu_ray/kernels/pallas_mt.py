@@ -59,13 +59,18 @@ def _use_interpret():
 
 def _mt_chunk_update(rows, ox, oy, oz, dx, dy, dz, best_t, best_tri,
                      cbase, t_far):
-    """Test one 128-triangle chunk against a whole (8,128) ray tile.
+    """Test one 128-triangle chunk against a whole ray tile.
 
     rows: (>=9, 128) chunk data block (v0/e1/e2 xyz per lane); the triangle
     loop is a static unroll of 128 scalar lane extracts — triangle data
     broadcasts against full ray tiles, so the inner loop is pure VPU
     element-wise arithmetic (no gathers, no reductions; Mosaic-safe).
     Shared by the VMEM-resident kernel and the HBM-streamed kernel.
+
+    (A precomputed Baldwin–Weber formulation — plane rows + barycentric row
+    vectors, ~24% fewer arithmetic ops but 12 lane extracts/tri instead of
+    9 — was A/B'd on chip in round 4 and measured NEUTRAL-to-worse: the
+    unroll is extract/latency-bound, not FLOP-bound. Keep MT.)
     """
     for j in range(CHUNK):  # static unroll: lane extracts
         v0x = rows[0, j]; v0y = rows[1, j]; v0z = rows[2, j]
