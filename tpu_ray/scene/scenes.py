@@ -256,10 +256,11 @@ def mixed_scene(dtype=jnp.float32):
                            [0.85, 0.45, 0.3], [0.3, 0.5, 0.85]]).with_grid()
     # hard-shadow visibility is a 0/1 step with zero gradient, so
     # diff_vis=False costs nothing and keeps the Pallas shadow kernel active
-    # 64k-ray blocks: measured plateau on-chip (32k/64k/128k all ~4.2 s vs
-    # 4.8 s at 256k for the 1080p frame) — lax.map pipelining overlaps the
-    # XLA candidate pre-pass with the packet kernel at small blocks
+    # 32k-ray blocks: re-measured on chip at the (16,128) ray tile — 32k
+    # fwd 2.80 s / fwd+bwd 3.60 s vs 64k 2.91 / 3.66 (lax.map pipelining
+    # overlaps the XLA candidate pre-pass with the packet kernel; smaller
+    # blocks pipeline deeper now that each block holds half as many tiles)
     cfg = RenderConfig(width=1920, height=1080, spp=16, method="mixed",
                        shadow="hard", max_steps=96, eps=1e-3, t_far=40.0,
-                       block_size=1 << 16, diff_vis=False)
+                       block_size=1 << 15, diff_vis=False)
     return scene, cfg
