@@ -102,15 +102,39 @@ def pixel_sample_coords(cfg: RenderConfig, dtype=jnp.float32):
 
 
 def _block_order_perm(cfg: RenderConfig):
-    """Pixel permutation: row-major -> 8x8 square blocks (None if the image
-    is not divisible into 8x8 blocks; strips are then used as-is)."""
+    """Pixel permutation: row-major -> 8x8 square blocks in MORTON order
+    over the block grid (None if the image is not divisible into 8x8
+    blocks; strips are then used as-is).
+
+    Why Morton and not block-row-major: a kernel ray tile holds
+    TILE_RAYS/spp pixels — at 16 spp that is 2 blocks, but at 1 spp it is
+    32 blocks, which in row-major order form a 256x8 strip whose frustum
+    culls almost nothing. Any aligned run of 2^k Morton-consecutive blocks
+    is a compact ~square region (32 blocks ≈ 64x32 px), so the packet
+    kernel's per-tile candidate cull stays sharp at every spp (measured:
+    config 3 fwd 9.8 -> 12+ Mrays/s; spp=16 configs unchanged — 2
+    consecutive blocks are adjacent either way)."""
     if cfg.height % 8 or cfg.width % 8:
         return None
     import numpy as np
 
+    hb, wb = cfg.height // 8, cfg.width // 8
+    by, bx = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+
+    def spread(v):  # interleave bits: 16-bit coord -> even bit positions
+        v = v.astype(np.uint64)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    morton = (spread(by) << np.uint64(1)) | spread(bx)
+    border = np.argsort(morton.ravel(), kind="stable")  # block visit order
     idx = np.arange(cfg.height * cfg.width).reshape(cfg.height, cfg.width)
-    blocks = idx.reshape(cfg.height // 8, 8, cfg.width // 8, 8)
-    return jnp.asarray(blocks.transpose(0, 2, 1, 3).reshape(-1), jnp.int32)
+    blocks = idx.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(
+        hb * wb, 64)
+    return jnp.asarray(blocks[border].reshape(-1), jnp.int32)
 
 
 # ---------------------------------------------------------------------------
