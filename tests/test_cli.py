@@ -59,17 +59,32 @@ def test_cli_bench_json(capsys):
     assert {"metric", "value", "unit", "vs_baseline"} <= set(data)
 
 
-def test_inverse_rendering_example_converges(tmp_path):
-    """The repo example must actually recover the scene (small budget)."""
+def _load_example(name):
     import importlib.util
     import os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "inverse_rendering", os.path.join(repo, "examples/inverse_rendering.py"))
+        name, os.path.join(repo, f"examples/{name}.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    import tpu_ray.utils.config as cfgmod  # noqa: F401
-    # shrink the budget for CI speed by monkeypatching FitConfig default use
+    return mod
+
+
+def test_inverse_rendering_example_converges(tmp_path):
+    """The repo example must actually recover the scene (small budget)."""
+    mod = _load_example("inverse_rendering")
     fitted, hist = mod.main(str(tmp_path))
     assert hist[-1] < hist[0] * 0.25
     assert abs(float(fitted.sdf.sph_radius[0]) - 1.0) < 0.2
+
+
+@pytest.mark.slow
+def test_inverse_pose_silhouette_recovery(tmp_path):
+    """VERDICT r4 item 3 done-criterion: an in-plane translation of a
+    floating triangle (pure silhouette motion) stalls under hard visibility
+    and is recovered by the mesh edge-band coverage."""
+    mod = _load_example("inverse_pose")
+    err_hard, err_soft = mod.main_silhouette(str(tmp_path), steps=120,
+                                             verbose=False)
+    assert err_hard > 0.08  # hard visibility: no signal, fit stalls
+    assert err_soft < 0.02  # mesh_silhouette: translation recovered

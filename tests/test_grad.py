@@ -231,3 +231,42 @@ def test_soft_silhouette_off_matches_hard():
     a = np.asarray(render_image(scene, cfg))
     b = np.asarray(render_image(scene, cfg.replace(soft_silhouette=0.0)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_silhouette_gives_edge_vertex_gradient():
+    """VERDICT r4 item 3: with the mesh edge-band coverage, translating a
+    triangle (a pure silhouette motion under directional light — interior
+    N·L and albedo are translation-invariant) has FD-matching gradients,
+    where hard mesh visibility loses almost all the signal."""
+    scene, cfg = build_scene("triangles", dtype=jnp.float64)
+    cfg_soft = cfg.replace(width=32, height=32, shadow="none",
+                           mesh_silhouette=0.06)
+    v0 = scene.mesh.verts
+    ex = jnp.zeros_like(v0).at[:3].add(jnp.asarray([1.0, 0.0, 0.0]))
+    target = jax.lax.stop_gradient(render_image(
+        scene.replace(mesh=scene.mesh.replace(verts=v0 + 0.08 * ex)),
+        cfg_soft))
+
+    def loss(a, c):
+        s = scene.replace(mesh=scene.mesh.replace(verts=v0 + a * ex))
+        return jnp.mean((render_image(s, c) - target) ** 2)
+
+    a0 = jnp.zeros((), jnp.float64)
+    g_ad = float(jax.grad(loss)(a0, cfg_soft))
+    h = 1e-4
+    g_fd = float((loss(a0 + h, cfg_soft) - loss(a0 - h, cfg_soft)) / (2 * h))
+    assert np.sign(g_ad) == np.sign(g_fd)
+    assert abs(g_ad - g_fd) / max(abs(g_fd), 1e-12) < 0.2
+    # hard visibility: the same translation's AD gradient misses the
+    # silhouette term (SURVEY.md §7 hard part 3) — a small fraction of FD
+    cfg_hard = cfg_soft.replace(mesh_silhouette=0.0)
+    g_hard = float(jax.grad(loss)(a0, cfg_hard))
+    assert abs(g_hard) < 0.25 * abs(g_fd)
+
+
+def test_mesh_silhouette_off_matches_hard():
+    scene, cfg = build_scene("triangles", dtype=jnp.float64)
+    cfg = cfg.replace(width=16, height=16)
+    a = np.asarray(render_image(scene, cfg))
+    b = np.asarray(render_image(scene, cfg.replace(mesh_silhouette=0.0)))
+    np.testing.assert_array_equal(a, b)

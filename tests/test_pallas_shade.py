@@ -29,13 +29,15 @@ def _small_mixed(dtype=jnp.float32):
     return scene, cfg.replace(method="mixed")
 
 
-def _grads_scene(scene, cfg, groups, width=16, method=None):
+def _grads_scene(scene, cfg, groups, width=16, method=None, **overrides):
     # the conftest x64 default would silently promote the f32 kernel trace
     # to f64 (pathologically slow through the unrolled second-order DE in
     # interpret mode); this comparison is f32-vs-f32 by design
     with jax.enable_x64(False):
         cfg = cfg.replace(width=width, height=width, spp=1, block_size=0,
                           diff_vis=False, max_steps=64, pallas="on")
+        if overrides:
+            cfg = cfg.replace(**overrides)
         method = method or rr.resolve_method(scene, cfg)
         assert pallas_shade.applicable(scene, cfg, method, jnp.float32)
         sx, sy = rr.pixel_sample_coords(cfg, jnp.float32)
@@ -56,9 +58,9 @@ def _grads_scene(scene, cfg, groups, width=16, method=None):
                 jax.tree_util.tree_map(np.asarray, gx))
 
 
-def _grads(scene_name, extra_groups, width=16):
+def _grads(scene_name, extra_groups, width=16, **overrides):
     scene, cfg = build_scene(scene_name, dtype=jnp.float32)
-    return _grads_scene(scene, cfg, GROUPS + extra_groups, width)
+    return _grads_scene(scene, cfg, GROUPS + extra_groups, width, **overrides)
 
 
 def _assert_close(gk, gx, keys=None, rel_tol=1e-4):
@@ -117,6 +119,62 @@ def test_kernel_backward_matches_xla_mixed_ao():
     gk, gx = _grads_scene(
         scene, cfg,
         GROUPS + ["mesh.verts", "sdf.sph_radius", "sdf.sph_center"], width=16)
+    _assert_close(gk, gx)
+
+
+def test_kernel_backward_matches_xla_soft_penumbra():
+    """diff_vis soft shadows (VERDICT r4 item 2): the penumbra factor is
+    recomputed in-kernel from ONE DE eval at the saved argmin parameter
+    sh_ts; its pullback must match the XLA occluder recompute."""
+    gk, gx = _grads("sphere", ["sdf.sph_radius", "sdf.sph_center"],
+                    shadow="soft", diff_vis=True)
+    _assert_close(gk, gx)
+
+
+def test_kernel_backward_matches_xla_silhouette():
+    """Soft silhouettes (VERDICT r4 item 2): sigmoid coverage from one DE
+    eval at the saved closest-approach tmin; miss lanes carry real
+    cotangents, so every tile class must run the full chain."""
+    gk, gx = _grads("sphere", ["sdf.sph_radius", "sdf.sph_center"],
+                    soft_silhouette=0.05)
+    _assert_close(gk, gx)
+
+
+def test_kernel_backward_matches_xla_mixed_softvis_silhouette():
+    """The README fit invocation's chain: mixed scene, soft shadows with
+    diff_vis AND soft silhouettes AND mesh-aware AO, in one kernel."""
+    scene, cfg = _small_mixed()
+    gk, gx = _grads_scene(
+        scene, cfg,
+        GROUPS + ["mesh.verts", "sdf.sph_radius", "sdf.sph_center"],
+        width=20, shadow="soft", diff_vis=True, soft_silhouette=0.05,
+        ao="sdf5")
+    _assert_close(gk, gx)
+
+
+def test_kernel_backward_matches_xla_mesh_silhouette():
+    """Mesh edge-band coverage (VERDICT r4 item 3): the barycentric margin
+    recompute and its vertex pullback, pure-mesh and mixed."""
+    scene, cfg = build_scene("triangles", dtype=jnp.float32)
+    gk, gx = _grads_scene(scene, cfg, GROUPS + ["mesh.verts"], width=20,
+                          mesh_silhouette=0.06)
+    _assert_close(gk, gx)
+    mscene, mcfg = _small_mixed()
+    gk, gx = _grads_scene(
+        mscene, mcfg,
+        GROUPS + ["mesh.verts", "sdf.sph_radius", "sdf.sph_center"],
+        width=20, mesh_silhouette=0.06, soft_silhouette=0.05)
+    _assert_close(gk, gx)
+
+
+def test_kernel_backward_matches_xla_pointlight_penumbra():
+    """Point-light diff_vis penumbra: the DE eval rides the OFFSET segment
+    p_off -> light (the ray the geometry pass marched)."""
+    scene, cfg = build_scene("pointlight", dtype=jnp.float32)
+    gk, gx = _grads_scene(
+        scene, cfg,
+        GROUPS + ["lights.position", "lights.pos_color", "sdf.sph_radius"],
+        width=16, shadow="soft", diff_vis=True)
     _assert_close(gk, gx)
 
 
@@ -216,17 +274,18 @@ def _assert_fwd_close(scene, cfg, method, width=16):
 
 
 def test_kernel_backward_gate_fallbacks():
-    """Unsupported configurations must fall back to the XLA backward; the
-    round-3 widening makes mixed/mesh/point-light configs applicable."""
+    """The round-5 widening covers every shipped shade chain (diff_vis soft
+    penumbra, soft silhouettes); only f64 / method-scene mismatches fall
+    back to the XLA backward."""
     scene, cfg = build_scene("mandelbulb", dtype=jnp.float32)
     base = cfg.replace(diff_vis=False, pallas="on")
     assert pallas_shade.applicable(scene, base, "sdf", jnp.float32)
     # mixed requires BOTH an sdf and a mesh; the mandelbulb scene has no mesh
     assert not pallas_shade.applicable(scene, base, "mixed", jnp.float32)
-    # diff_vis only matters for soft shadows (hard visibility is stop-grad)
-    assert not pallas_shade.applicable(scene, base.replace(diff_vis=True),
-                                       "sdf", jnp.float32)
-    assert not pallas_shade.applicable(
+    # round 5: the differentiable-visibility chains run the fused backward
+    assert pallas_shade.applicable(scene, base.replace(diff_vis=True),
+                                   "sdf", jnp.float32)
+    assert pallas_shade.applicable(
         scene, base.replace(soft_silhouette=0.01), "sdf", jnp.float32)
     assert not pallas_shade.applicable(scene, base, "sdf", jnp.float64)
 
@@ -240,7 +299,6 @@ def test_kernel_backward_gate_fallbacks():
     assert pallas_shade.applicable(
         pl_scene, pl_cfg.replace(diff_vis=False, pallas="on"),
         rr.resolve_method(pl_scene, pl_cfg), jnp.float32)
-    # soft shadows WITH diff_vis need the penumbra recompute -> XLA
-    assert not pallas_shade.applicable(
+    assert pallas_shade.applicable(
         pl_scene, pl_cfg.replace(diff_vis=True, pallas="on"),
-        "sdf", jnp.float32)
+        rr.resolve_method(pl_scene, pl_cfg), jnp.float32)

@@ -30,12 +30,13 @@ def _add_cfg_flags(p):
     p.add_argument("--max-steps", type=int, dest="max_steps")
     p.add_argument("--block-size", type=int, dest="block_size")
     p.add_argument("--soft-silhouette", type=float, dest="soft_silhouette")
+    p.add_argument("--mesh-silhouette", type=float, dest="mesh_silhouette")
     p.add_argument("--pallas", choices=["auto", "on", "off"])
 
 
 def _apply_cfg_flags(cfg, args):
     for k in ("width", "height", "spp", "method", "shadow", "ao", "max_steps",
-              "block_size", "soft_silhouette", "pallas"):
+              "block_size", "soft_silhouette", "mesh_silhouette", "pallas"):
         v = getattr(args, k, None)
         if v is not None:
             cfg = cfg.replace(**{k: v})

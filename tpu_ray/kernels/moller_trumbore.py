@@ -144,3 +144,27 @@ def recompute_hit_corners(v0, v1, v2, o, d):
     t = dot(e2, qvec) * inv_det
     n = normalize(cross(e1, e2))
     return t, u, v, n
+
+
+def edge_margin_corners(v0, v1, v2, u, v):
+    """World-space distance from the hit point to the nearest triangle edge,
+    within the triangle plane (differentiable w.r.t. corners and u/v).
+
+    Barycentric weights (b0, b1, b2) = (1-u-v, u, v); the in-plane distance
+    to the edge opposite corner i is b_i · h_i with h_i = 2·Area / L_i (the
+    corner's height over its opposite edge). This is the margin the mesh
+    soft-silhouette coverage ramps over (render._mesh_from_res,
+    RenderConfig.mesh_silhouette); mirrored component-wise by the fused
+    Pallas backward (kernels/pallas_shade._local_shade).
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    cn = cross(e1, e2)
+    two_area = jnp.sqrt(jnp.maximum(dot(cn, cn), 1e-24))
+    l0 = jnp.sqrt(jnp.maximum(dot(v2 - v1, v2 - v1), 1e-24))
+    l1 = jnp.sqrt(jnp.maximum(dot(e2, e2), 1e-24))
+    l2 = jnp.sqrt(jnp.maximum(dot(e1, e1), 1e-24))
+    d0 = (1.0 - u - v) * two_area / l0
+    d1 = u * two_area / l1
+    d2 = v * two_area / l2
+    return jnp.minimum(d0, jnp.minimum(d1, d2))

@@ -20,8 +20,13 @@ becomes masked sums (no scatter).
 Round 3 (VERDICT r2 item 1) widened coverage from pure-SDF/directional to the
 FULL static-visibility shade family: methods sdf / mesh_brute / mesh_grid /
 mixed, point lights (inverse-square falloff, differentiable positions),
-mesh-aware DF-AO (ao_tmesh residual taps). Still excluded (XLA fallback):
-diff_vis soft-shadow penumbra recompute, soft silhouettes, f64.
+mesh-aware DF-AO (ao_tmesh residual taps). Round 5 (VERDICT r4 item 2) adds
+the differentiable-visibility chains: the diff_vis soft-shadow penumbra
+recompute (one DE evaluation at the saved argmin parameter sh_ts per light —
+render.make_residual_occluder) and soft silhouettes (sigmoid coverage from
+one DE evaluation at the saved closest-approach sdf_tmin —
+render._sdf_from_res), so the README's own `fit` invocation runs the fused
+backward. Only f64 and non-TPU backends fall back to XLA autodiff.
 
 The forward stays the existing XLA path (bit-identical images); only the
 backward is replaced, via jax.custom_vjp. Gradients are exact up to FP
@@ -78,15 +83,23 @@ def _spec(scene, cfg, method: str):
         "n_dir": scene.lights.direction.shape[0],
         "n_pos": scene.lights.position.shape[0],
         "shadows": cfg.shadow != "none",
+        # differentiable-visibility chains (render.make_residual_occluder /
+        # render._sdf_from_res): one extra DE eval + pullback each
+        "soft_diff": (cfg.shadow == "soft" and cfg.diff_vis and use_sdf),
+        "soft_sil": cfg.soft_silhouette > 0.0 and use_sdf,
+        # mesh edge-band coverage (render._mesh_from_res): recomputed from
+        # the corners already in-tile — no extra residuals
+        "mesh_sil": cfg.mesh_silhouette > 0.0 and use_mesh,
     }
 
 
 def applicable(scene, cfg, method: str, dtype) -> bool:
-    """Pallas-backward gate: the static-visibility shade chains it implements
-    (VERDICT r2 item 1: includes mixed/mesh and point lights).
+    """Pallas-backward gate: every shade chain render.py ships — the
+    static-visibility family (VERDICT r2 item 1: mixed/mesh, point lights)
+    plus the differentiable-visibility chains (VERDICT r4 item 2: diff_vis
+    soft-shadow penumbra, soft silhouettes).
 
-    Everything else (diff_vis soft-shadow penumbra, soft silhouettes, f64,
-    non-Pallas backends) falls back to XLA autodiff.
+    Only f64 and non-Pallas backends fall back to XLA autodiff.
     """
     from tpu_ray.render.render import use_pallas
 
@@ -97,8 +110,6 @@ def applicable(scene, cfg, method: str, dtype) -> bool:
         return False
     return (use_pallas(cfg, dtype)
             and dtype == jnp.float32
-            and not (cfg.shadow == "soft" and cfg.diff_vis)
-            and cfg.soft_silhouette <= 0.0
             and cfg.ao in ("none", "sdf5")
             and s["n_dir"] + s["n_pos"] > 0)
 
@@ -116,9 +127,12 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
     ox, oy, oz, dx, dy, dz = rays[:6]
     zero = ox * 0.0
 
-    # the AO taps need the field even when the hit chain is mesh-only (a
-    # tile-class variant, or a mesh-method scene that still contains an SDF)
-    sdf = rebuild(ops) if (spec["use_sdf"] or spec["ao_sdf"]) else None
+    # the AO taps and the differentiable-visibility chains need the field
+    # even when the hit chain is mesh-only (a tile-class variant, or a
+    # mesh-method scene that still contains an SDF)
+    sdf = (rebuild(ops) if (spec["use_sdf"] or spec["ao_sdf"]
+                            or spec["soft_diff"] or spec["soft_sil"])
+           else None)
 
     # --- SDF branch: IFT t + ∇DE normal (render._sdf_from_res) -------------
     if spec["use_sdf"]:
@@ -141,6 +155,21 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
         # IFT value-identity: value t̄, gradient -∂DE/∂(θ,o,d)/(dDE/dt) on hits
         de_val = de_tile(sdf, bx, by, bz, unroll=True)
         ts = t_bar - hs_f * (de_val - sg(de_val)) / sg(denom_safe)
+        if spec["soft_sil"]:
+            # soft-silhouette coverage (render._sdf_from_res): one DE eval
+            # WITH gradients at the closest-approach parameter tmin (a
+            # stop-grad sampling location); sigmoid of the miss distance
+            # gives silhouette motion real cotangents on miss lanes
+            tmin = resid["tmin"]
+            d_min = de_tile(sdf, ox + tmin * dx, oy + tmin * dy,
+                            oz + tmin * dz, unroll=True)
+            cov_miss = jax.nn.sigmoid(-d_min / cfg.soft_silhouette)
+            hs_b = hs_f > 0.5
+            cov_s = jnp.where(hs_b, jnp.ones_like(cov_miss), cov_miss)
+            ts_eff = jnp.where(hs_b, ts, tmin)
+        else:
+            cov_s = hs_f
+            ts_eff = ts
 
     # --- Mesh branch: MT re-solve of the selected triangle -----------------
     # (moller_trumbore.recompute_hit on component tiles; corners are the
@@ -170,18 +199,45 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
         cinv = 1.0 / jnp.sqrt(jnp.maximum(cnx * cnx + cny * cny + cnz * cnz,
                                           1e-12))
         nmx, nmy, nmz = cnx * cinv, cny * cinv, cnz * cinv
+        if spec["mesh_sil"]:
+            # mesh edge-band coverage (moller_trumbore.edge_margin_corners):
+            # barycentrics u, v of the selected triangle, world distance to
+            # the nearest edge = min_i b_i · 2A / L_i, ramped over the band
+            um = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            vm = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            two_area = jnp.sqrt(jnp.maximum(
+                cnx * cnx + cny * cny + cnz * cnz, 1e-24))
+            ex, ey, ez = v2x - v1x, v2y - v1y, v2z - v1z
+            l0 = jnp.sqrt(jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-24))
+            l1 = jnp.sqrt(jnp.maximum(e2x * e2x + e2y * e2y + e2z * e2z,
+                                      1e-24))
+            l2 = jnp.sqrt(jnp.maximum(e1x * e1x + e1y * e1y + e1z * e1z,
+                                      1e-24))
+            margin = jnp.minimum(
+                (1.0 - um - vm) * two_area / l0,
+                jnp.minimum(um * two_area / l1, vm * two_area / l2))
+            cm = jnp.where(hm_f > 0.5,
+                           jnp.clip(margin / cfg.mesh_silhouette, 0.0, 1.0),
+                           jnp.zeros_like(margin))
+        else:
+            cm = hm_f
 
     # --- closest-select (render.reconstruct_hits mixed) --------------------
     if spec["mixed"]:
         closer = resid["closer_f"] > 0.5  # stop-grad select mask
-        t = jnp.where(closer, ts, tm)
+        t = jnp.where(closer, ts_eff, tm)
         hit_f = jnp.maximum(resid["hs_f"], resid["hm_f"])
+        # soft SDF coverage applies only where the mesh does not hit in front
+        cov = jnp.where((resid["hm_f"] > 0.5) & (~closer), cm,
+                        jnp.maximum(cov_s, cm))
     elif spec["use_sdf"]:
-        t = ts
+        t = ts_eff
         hit_f = resid["hs_f"]
+        cov = cov_s
     else:
         t = tm
         hit_f = resid["hm_f"]
+        cov = cm
 
     px = ox + t * dx
     py = oy + t * dy
@@ -190,12 +246,13 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
     if spec["use_sdf"]:
         # differentiable normal = ∇p DE / max(‖·‖, 1e-12) (surface_normal);
         # evaluated at the SELECTED hit point, exactly like the XLA chain
-        # (whose _sdf_from_res normal uses p_s = o + ts d — identical to the
-        # selected p on sdf-closer lanes, and unused on mesh-closer lanes)
+        # (whose _sdf_from_res normal uses p_s = o + ts_eff d — identical to
+        # the selected p on sdf-closer lanes, and unused on mesh-closer lanes
+        # except through the soft-silhouette coverage blend)
         if spec["mixed"]:
-            spx = ox + ts * dx
-            spy = oy + ts * dy
-            spz = oz + ts * dz
+            spx = ox + ts_eff * dx
+            spy = oy + ts_eff * dy
+            spz = oz + ts_eff * dz
         else:
             spx, spy, spz = px, py, pz
         _, pb2 = jax.vjp(lambda x, y, z: de_tile(sdf, x, y, z, unroll=True),
@@ -242,13 +299,32 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
     amb = prm["ambient"]
     rad = [amb[c] * ao for c in range(3)]
     vis_rows = resid["vis_rows"]
+    if spec["soft_diff"]:
+        # shadow-march origin p_off = p + bias·n (shading.shade): the
+        # penumbra recompute below evaluates the DE along the SAME ray the
+        # geometry pass marched (render.make_residual_occluder)
+        pox = px + cfg.shadow_bias * nx
+        poy = py + cfg.shadow_bias * ny
+        poz = pz + cfg.shadow_bias * nz
+        ts_rows = resid["ts_rows"]
     for li in range(spec["n_dir"]):
         ldir, lcol = prm["ldir"], prm["lcol"]
         lx, ly, lz = ldir[li, 0], ldir[li, 1], ldir[li, 2]
         ln = jnp.sqrt(lx * lx + ly * ly + lz * lz)  # math3d.normalize (no eps)
         lx, ly, lz = lx / ln, ly / ln, lz / ln
         ndotl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
-        term = ndotl * vis_rows[li]  # static visibility residual
+        vis = vis_rows[li]  # static visibility residual
+        if spec["soft_diff"]:
+            # differentiable penumbra: ONE DE eval at the saved argmin
+            # parameter t_s — exactly the march's min value
+            # (shading.sdf_soft_shadow_argmin)
+            ts_l = ts_rows[li]
+            dd = de_tile(sdf, pox + ts_l * lx, poy + ts_l * ly,
+                         poz + ts_l * lz, unroll=True)
+            vis = vis * jnp.clip(
+                cfg.soft_k * dd / jnp.maximum(ts_l, cfg.shadow_bias),
+                0.0, 1.0)
+        term = ndotl * vis
         for c in range(3):
             rad[c] = rad[c] + lcol[li, c] * term
     for pi in range(spec["n_pos"]):
@@ -261,7 +337,23 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
         dist2 = lvx * lvx + lvy * lvy + lvz * lvz
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
         ndotl = jnp.maximum((nx * lvx + ny * lvy + nz * lvz) / dist, 0.0)
-        falloff = ndotl * vis_rows[spec["n_dir"] + pi] / jnp.maximum(dist2, 1e-8)
+        vis = vis_rows[spec["n_dir"] + pi]
+        if spec["soft_diff"]:
+            # penumbra along the OFFSET segment p_off -> light (the ray the
+            # geometry pass marched; shading.shade point-light occluder)
+            ts_l = ts_rows[spec["n_dir"] + pi]
+            lox = lpos[pi, 0] - pox
+            loy = lpos[pi, 1] - poy
+            loz = lpos[pi, 2] - poz
+            od = jnp.sqrt(jnp.maximum(lox * lox + loy * loy + loz * loz,
+                                      1e-12))
+            lox, loy, loz = lox / od, loy / od, loz / od
+            dd = de_tile(sdf, pox + ts_l * lox, poy + ts_l * loy,
+                         poz + ts_l * loz, unroll=True)
+            vis = vis * jnp.clip(
+                cfg.soft_k * dd / jnp.maximum(ts_l, cfg.shadow_bias),
+                0.0, 1.0)
+        falloff = ndotl * vis / jnp.maximum(dist2, 1e-8)
         for c in range(3):
             rad[c] = rad[c] + lpcol[pi, c] * falloff
 
@@ -275,8 +367,75 @@ def _local_shade(cfg, spec, rebuild, resid, ops, prm, rays):
             alb = alb + jnp.where(mat_f == float(m), albedo[m, c], 0.0)
         color = alb * rad[c]
         bg = bgb[c] + (bgt[c] - bgb[c]) * s_bg
-        out.append(jnp.where(hit_f > 0.5, color, bg))
+        if spec["soft_sil"] or spec["mesh_sil"]:
+            # coverage blend (shading.shade with coverage): near-silhouette
+            # lanes keep the coverage chain's cotangents
+            out.append(bg + cov * (color - bg))
+        else:
+            out.append(jnp.where(hit_f > 0.5, color, bg))
     return tuple(out)
+
+
+def _tile_dispatch(spec, resid, run_variant, run_bg):
+    """Per-tile class dispatch shared by the fwd and bwd kernels: the
+    second-order DE chain (IFT + normal Hessian) only runs on tiles where an
+    SDF hit is SELECTED; mesh-only tiles run the MT chain (+ first-order AO /
+    penumbra taps); miss-only tiles run the two-term sky pullback. 8x8-pixel
+    tile coherence makes these classes common. Each variant's cotangents are
+    exact: on a mesh-only tile the full chain's SDF hit contributions are
+    zero (every path ends in an unselected jnp.where branch), and on a miss
+    tile everything but the sky term is unselected.
+
+    With soft silhouettes the sigmoid coverage gives MISS lanes real
+    cotangents (the XLA chain computes them on every lane), so the cheap
+    classes are only valid where no lane has silhouette exposure: mixed
+    tiles whose every lane is a mesh hit in front keep the mesh variant;
+    every other tile runs the full chain.
+    """
+    if spec["mixed"]:
+        mesh_spec = dict(spec, use_sdf=False, mixed=False, soft_sil=False)
+        if spec["soft_sil"]:
+            mesh_cov = jnp.all((resid["hm_f"] > 0.5)
+                               & (resid["closer_f"] < 0.5))
+
+            @pl.when(mesh_cov)
+            def _():
+                run_variant(mesh_spec)
+
+            @pl.when(jnp.logical_not(mesh_cov))
+            def _():
+                run_variant(spec)
+
+            return
+        hit_any = jnp.any(jnp.maximum(resid["hs_f"], resid["hm_f"]) > 0.5)
+        sdf_sel = jnp.any(resid["closer_f"] * resid["hs_f"] > 0.5)
+
+        @pl.when(sdf_sel)
+        def _():
+            run_variant(spec)
+
+        @pl.when(jnp.logical_not(sdf_sel) & hit_any)
+        def _():
+            run_variant(mesh_spec)
+
+        @pl.when(jnp.logical_not(hit_any))
+        def _():
+            run_bg()
+
+        return
+    if spec["use_sdf"] and spec["soft_sil"]:
+        run_variant(spec)  # every lane carries silhouette cotangents
+        return
+    hit_any = jnp.any(
+        (resid["hs_f"] if spec["use_sdf"] else resid["hm_f"]) > 0.5)
+
+    @pl.when(hit_any)
+    def _():
+        run_variant(spec)
+
+    @pl.when(jnp.logical_not(hit_any))
+    def _():
+        run_bg()
 
 
 # parameter packing order (small differentiable operands after the sdf ops)
@@ -327,6 +486,8 @@ def _pack_ray_cols(scene, cfg, o, d, res, aux, method: str):
     if spec["use_sdf"]:
         resid_cols["t_bar"] = sg(res["sdf_t"]).astype(dtype)
         resid_cols["hs_f"] = res["sdf_hit"].astype(dtype)
+    if spec["soft_sil"]:
+        resid_cols["tmin"] = sg(res["sdf_tmin"]).astype(dtype)
     if spec["use_mesh"]:
         resid_cols["hm_f"] = res["mesh_hit"].astype(dtype)
     if spec["mixed"]:
@@ -339,6 +500,10 @@ def _pack_ray_cols(scene, cfg, o, d, res, aux, method: str):
     for li in range(n_lights):
         ray_cols.append(sg(res["sh_vis"][li]).astype(dtype)
                         if have_vis else jnp.ones_like(ray_cols[0]))
+    if spec["soft_diff"]:
+        # penumbra argmin rows (render.geometry_residuals sh_ts)
+        for li in range(n_lights):
+            ray_cols.append(sg(res["sh_ts"][li]).astype(dtype))
     return ray_cols, resid_keys, spec, n_lights
 
 
@@ -384,6 +549,10 @@ def shade_fwd_pallas(scene, cfg, o, d, res, aux, method: str,
         resid = {k: ray_refs[off + i][:] for i, k in enumerate(resid_keys)}
         off += len(resid_keys)
         resid["vis_rows"] = [ray_refs[off + li][:] for li in range(n_lights)]
+        off += n_lights
+        if spec["soft_diff"]:
+            resid["ts_rows"] = [ray_refs[off + li][:]
+                                for li in range(n_lights)]
         small_vals = [r[:] for r in small_refs]
         ops_v = small_vals[:len(ops)]
         prm = {k: v for k, v in zip(param_keys, small_vals[len(ops):])}
@@ -401,34 +570,7 @@ def shade_fwd_pallas(scene, cfg, o, d, res, aux, method: str,
             bgt, bgb = prm["bg_top"], prm["bg_bottom"]
             emit(tuple(bgb[c] + (bgt[c] - bgb[c]) * s_bg for c in range(3)))
 
-        if spec["mixed"]:
-            hit_any = jnp.any(
-                jnp.maximum(resid["hs_f"], resid["hm_f"]) > 0.5)
-            sdf_sel = jnp.any(resid["closer_f"] * resid["hs_f"] > 0.5)
-            mesh_spec = dict(spec, use_sdf=False, mixed=False)
-
-            @pl.when(sdf_sel)
-            def _():
-                run_variant(spec)
-
-            @pl.when(jnp.logical_not(sdf_sel) & hit_any)
-            def _():
-                run_variant(mesh_spec)
-
-            @pl.when(jnp.logical_not(hit_any))
-            def _():
-                run_bg()
-        else:
-            hit_any = jnp.any(
-                (resid["hs_f"] if spec["use_sdf"] else resid["hm_f"]) > 0.5)
-
-            @pl.when(hit_any)
-            def _():
-                run_variant(spec)
-
-            @pl.when(jnp.logical_not(hit_any))
-            def _():
-                run_bg()
+        _tile_dispatch(spec, resid, run_variant, run_bg)
 
     small_specs = [_full_spec(x) for x in small]
     out_shapes = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype)
@@ -497,6 +639,10 @@ def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
         off += len(resid_keys)
         resid["vis_rows"] = [ray_refs[off + li][:] for li in range(n_lights)]
         off += n_lights
+        if spec["soft_diff"]:
+            resid["ts_rows"] = [ray_refs[off + li][:]
+                                for li in range(n_lights)]
+            off += n_lights
         ctr, ctg, ctb = (ray_refs[off + i][:] for i in range(3))
         small_vals = [r[:] for r in small_refs]
         # program_id must be read at the kernel top level (inside a pl.when
@@ -552,42 +698,8 @@ def shade_bwd_pallas(scene, cfg, o, d, res, aux, ct, method: str,
             _, pullback = jax.vjp(local_bg, *small_vals, *geom)
             emit(pullback((ctr, ctg, ctb)))
 
-        # Tile-class dispatch (the big backward win): the second-order DE
-        # chain (IFT + normal Hessian) only runs on tiles where an SDF hit is
-        # SELECTED; mesh-only tiles run the MT chain (+ first-order AO taps);
-        # miss-only tiles run the two-term sky pullback. 8x8-pixel tile
-        # coherence makes these classes common. Each variant's cotangents
-        # are exact: on a mesh-only tile the full chain's SDF contributions
-        # are zero (every path ends in an unselected jnp.where branch), and
-        # on a miss tile everything but the sky term is unselected.
-        if spec["mixed"]:
-            hit_any = jnp.any(
-                jnp.maximum(resid["hs_f"], resid["hm_f"]) > 0.5)
-            sdf_sel = jnp.any(resid["closer_f"] * resid["hs_f"] > 0.5)
-            mesh_spec = dict(spec, use_sdf=False, mixed=False)
-
-            @pl.when(sdf_sel)
-            def _():
-                run_variant(spec)
-
-            @pl.when(jnp.logical_not(sdf_sel) & hit_any)
-            def _():
-                run_variant(mesh_spec)
-
-            @pl.when(jnp.logical_not(hit_any))
-            def _():
-                run_bg()
-        else:
-            hit_any = jnp.any(
-                (resid["hs_f"] if spec["use_sdf"] else resid["hm_f"]) > 0.5)
-
-            @pl.when(hit_any)
-            def _():
-                run_variant(spec)
-
-            @pl.when(jnp.logical_not(hit_any))
-            def _():
-                run_bg()
+        # Tile-class dispatch (the big backward win) — see _tile_dispatch.
+        _tile_dispatch(spec, resid, run_variant, run_bg)
 
     small_specs = [_full_spec(x) for x in diff_small]
     out_shapes = ([jax.ShapeDtypeStruct(x.shape, dtype) for x in diff_small]
@@ -649,7 +761,12 @@ def _make_aux(cfg, method: str, scene, o, d, res, corners=None):
     aux = {}
     have_saved = "hit_mat" in res
     if spec["use_sdf"] and not have_saved:
-        p_bar = sg(o) + sg(res["sdf_t"])[..., None] * sg(d)
+        t_eff = res["sdf_t"]
+        if spec["soft_sil"]:
+            # soft silhouettes sample the material at the blended hit point
+            # t_eff = where(hit, t, tmin) (render._sdf_from_res)
+            t_eff = jnp.where(res["sdf_hit"], t_eff, res["sdf_tmin"])
+        p_bar = sg(o) + sg(t_eff)[..., None] * sg(d)
         _, mat_s = sdf_distance_and_mat(sg(scene.sdf), p_bar)
     if spec["use_mesh"]:
         tri = res["mesh_tri"]

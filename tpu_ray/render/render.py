@@ -42,7 +42,7 @@ BIG = 1e10
 _NO_REMAT_BUDGET_BYTES = 4 << 30
 
 
-def _saved_bytes_per_ray(scene: Scene, method: str) -> int:
+def _saved_bytes_per_ray(scene: Scene, cfg: RenderConfig, method: str) -> int:
     """Estimated bytes/ray the fused-backward custom_vjp saves (o, d, res,
     aux) — used to decide whether the no-remat backward fits HBM."""
     n = 24  # o + d
@@ -52,7 +52,10 @@ def _saved_bytes_per_ray(scene: Scene, method: str) -> int:
         n += 4 + 1 + 36  # mesh_tri, mesh_hit, corners
     if method == "mixed":
         n += 1 + 4  # hit_closer, aux closer
-    n += 4 * max(1, scene.lights.num_shadowed)  # sh_vis rows
+    n_sh = max(1, scene.lights.num_shadowed)
+    n += 4 * n_sh  # sh_vis rows
+    if cfg.shadow == "soft" and cfg.diff_vis and _use_sdf(scene, method):
+        n += 4 * n_sh  # sh_ts penumbra argmin rows
     return n
 
 
@@ -111,8 +114,8 @@ def _block_order_perm(cfg: RenderConfig):
     32 blocks, which in row-major order form a 256x8 strip whose frustum
     culls almost nothing. Any aligned run of 2^k Morton-consecutive blocks
     is a compact ~square region (32 blocks ≈ 64x32 px), so the packet
-    kernel's per-tile candidate cull stays sharp at every spp (measured:
-    config 3 fwd 9.8 -> 12+ Mrays/s; spp=16 configs unchanged — 2
+    kernel's per-tile candidate cull stays sharp at every spp (validated on
+    chip — see BASELINE.md round-4 milestones; spp=16 configs unchanged — 2
     consecutive blocks are adjacent either way)."""
     if cfg.height % 8 or cfg.width % 8:
         return None
@@ -302,25 +305,43 @@ def _sdf_from_res(scene: Scene, cfg: RenderConfig, o, d, res, lite=False):
 
 
 def _mesh_from_res(scene: Scene, cfg: RenderConfig, o, d, res,
-                   mesh_rows=None):
+                   mesh_rows=None, lite=False):
     """Differentiable mesh hit state from the saved triangle index.
 
     mesh_rows: optional packed (T, 10) per-triangle table (mesh_table) —
     ONE row gather replaces the five separate gathers (tris + 3 verts +
     tri_mat), which dominate this reconstruct's cost on chip (gather cost is
-    ~per row): measured 1.13 s -> 0.68 s for the 1080p mixed reconstruct."""
+    ~per row): measured 1.13 s -> 0.68 s for the 1080p mixed reconstruct.
+
+    With cfg.mesh_silhouette > 0, coverage ramps 0 -> 1 over that band width
+    from the nearest triangle edge (mt.edge_margin_corners) — the mesh
+    analog of soft_silhouette: near-edge hit pixels blend toward background,
+    so vertex/pose gradients move occlusion edges (SURVEY.md §7 hard part 3,
+    VERDICT r4 item 3). lite=True (geometry pass) skips the margin
+    arithmetic — coverage is unused there."""
     tri, hit = res["mesh_tri"], res["mesh_hit"]
     if mesh_rows is not None:
         rows = mesh_rows[jnp.clip(tri, 0, mesh_rows.shape[0] - 1)]  # (R, 10)
-        t, _u, _v, n = mt.recompute_hit_corners(
-            rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], o, d)
+        v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        t, u, v, n = mt.recompute_hit_corners(v0, v1, v2, o, d)
         mat = jnp.where(hit, rows[:, 9].astype(jnp.int32), 0)
     else:
-        t, _u, _v, n = mt.recompute_hit(scene.mesh, o, d, tri)
+        idx = jnp.clip(tri, 0, max(scene.mesh.num_tris - 1, 0))
+        triv = scene.mesh.tris[idx]
+        v0 = scene.mesh.verts[triv[..., 0]]
+        v1 = scene.mesh.verts[triv[..., 1]]
+        v2 = scene.mesh.verts[triv[..., 2]]
+        t, u, v, n = mt.recompute_hit_corners(v0, v1, v2, o, d)
         mat = jnp.where(hit, scene.mesh.tri_mat[jnp.clip(tri, 0, None)], 0)
+    if cfg.mesh_silhouette > 0.0 and not lite:
+        margin = mt.edge_margin_corners(v0, v1, v2, u, v)
+        cov = jnp.where(hit, clamp01(margin / cfg.mesh_silhouette),
+                        jnp.zeros_like(margin))
+    else:
+        cov = hit.astype(o.dtype)
     t = jnp.where(hit, t, BIG)
     p = o + t[..., None] * d
-    return t, hit, p, n, mat, hit.astype(o.dtype)
+    return t, hit, p, n, mat, cov
 
 
 def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str,
@@ -342,14 +363,15 @@ def reconstruct_hits(scene: Scene, cfg: RenderConfig, o, d, res, method: str,
             aux_out["mat"] = out[4]
         return out
     if method in ("mesh_brute", "mesh_grid"):
-        out = _mesh_from_res(scene, cfg, o, d, res, mesh_rows=mesh_rows)
+        out = _mesh_from_res(scene, cfg, o, d, res, mesh_rows=mesh_rows,
+                             lite=lite)
         if aux_out is not None:
             aux_out["mat"] = out[4]
         return out
     if method == "mixed":
         ts, hs, ps, ns, ms, cs = _sdf_from_res(scene, cfg, o, d, res, lite=lite)
         tm, hm, pm, nm, mm, cm = _mesh_from_res(scene, cfg, o, d, res,
-                                                mesh_rows=mesh_rows)
+                                                mesh_rows=mesh_rows, lite=lite)
         ts_eff = jnp.where(hs, ts, BIG)
         tm_eff = jnp.where(hm, tm, BIG)
         sdf_closer = ts_eff <= tm_eff
@@ -568,9 +590,10 @@ def shade_with_residuals(scene: Scene, cfg: RenderConfig, o, d, res,
                          method: str, mesh_rows=None) -> jnp.ndarray:
     """Differentiable shade of a flat ray batch from geometry residuals.
 
-    For the static-visibility shade chains on TPU, the backward pass is the
-    hand-written fused Pallas kernel (kernels/pallas_shade.py) — the forward
-    value is the identical XLA computation either way.
+    On TPU f32 the backward pass is the hand-written fused Pallas kernel
+    (kernels/pallas_shade.py) for every shipped shade chain — static
+    visibility AND the differentiable soft-shadow penumbra / soft-silhouette
+    modes — the forward value is the identical XLA computation either way.
 
     mesh_rows: optional (T, 10) packed per-triangle table (mesh_table),
     hoisted per frame by render_pixels_flat. Two wins ride on it: (a) the
@@ -670,7 +693,7 @@ def render_pixels_flat(scene: Scene, cfg: RenderConfig, flat_x, flat_y,
     from tpu_ray.kernels import pallas_shade
 
     fused_bwd = pallas_shade.applicable(scene, cfg, method, flat_x.dtype)
-    save_bytes = flat_x.shape[0] * _saved_bytes_per_ray(scene, method)
+    save_bytes = flat_x.shape[0] * _saved_bytes_per_ray(scene, cfg, method)
     use_ckpt = (not fused_bwd) or save_bytes > _NO_REMAT_BUDGET_BYTES
     # frame-level packed triangle table: one row gather per block instead of
     # five, and the triangle->vertex half of the vertex-gradient scatter

@@ -61,6 +61,18 @@ class RenderConfig:
     # (SURVEY.md §7 hard part 3).
     soft_silhouette: float = 0.0
 
+    # Differentiable soft silhouettes for MESH scenes (SURVEY.md §7 hard part
+    # 3, VERDICT r4 item 3): coverage ramps from 0 at a triangle's edge to 1
+    # over this world-space band width, computed from the recomputed hit's
+    # barycentric edge margin (min_i b_i · 2A/L_i = world distance to the
+    # nearest edge within the triangle plane). Vertex/pose fits then get
+    # signal at occlusion edges: moving an edge changes near-edge coverage.
+    # 0 = hard mesh silhouettes (reference behavior). Trade-off (documented):
+    # interior wireframe edges of closed meshes also get the thin coverage
+    # ramp, bleeding a hair of background — keep the band small (~a pixel's
+    # world footprint).
+    mesh_silhouette: float = 0.0
+
     # Pallas kernel dispatch for the SDF hot loops (tpu_ray/kernels/pallas_sdf.py):
     # "auto" = on TPU with float32; "on"/"off" force. The soft-shadow Pallas
     # path additionally requires diff_vis=False (it is forward-only).
