@@ -134,34 +134,31 @@ def main():
                               "hit_frac": float(np.asarray(hit8.hit).mean())}
     print(f"[stream-bench] streamed 8.4M-tri: {dt:.3f}s = "
           f"{mrays(dt):.2f} Mrays/s", flush=True)
-    # numpy Moller-Trumbore oracle on 33 sampled rays (~10 hits / misses mix)
-    sel = np.arange(0, n_rays, n_rays // 33)[:33]
-    on = np.asarray(o, np.float64)[sel]
-    dn = np.asarray(d, np.float64)[sel]
-    v0 = v[f[:, 0]]; e1 = v[f[:, 1]] - v0; e2 = v[f[:, 2]] - v0
-    best = np.full(sel.size, np.inf)
-    for k in range(sel.size):
-        p = np.cross(dn[k], e2)
-        det = (e1 * p).sum(-1)
-        ok = np.abs(det) > 1e-12
-        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
-        tv0 = on[k] - v0
-        u = (tv0 * p).sum(-1) * inv
-        q = np.cross(tv0, e1)
-        vv = (dn[k] * q).sum(-1) * inv
-        t = (e2 * q).sum(-1) * inv
-        m = ok & (u >= 0) & (vv >= 0) & (u + vv <= 1) & (t > 1e-4)
-        best[k] = np.where(m, t, np.inf).min()
-    got_t = np.asarray(hit8.t, np.float64)[sel]
-    got_t = np.where(np.asarray(hit8.hit)[sel], got_t, np.inf)
-    both = np.isfinite(best) & np.isfinite(got_t)
-    hit_eq = bool((np.isfinite(best) == np.isfinite(got_t)).all())
-    terr = float(np.abs(best[both] - got_t[both]).max()) if both.any() else 0.0
-    results["oracle_8M"] = {"rays_checked": int(sel.size),
+    # 1024-ray oracle (VERDICT r4 item 4: >= 1k rays): chunked on-chip brute
+    # Moller-Trumbore over ALL 8.4M triangles — an accel-free, independent
+    # closest-hit path (kernels/moller_trumbore.intersect_brute streams tri
+    # chunks through jnp; no packet accel, no Pallas).
+    from tpu_ray.kernels.moller_trumbore import intersect_brute
+    from tpu_ray.scene.mesh import MeshScene
+
+    n_check = 1024
+    sel = np.arange(0, n_rays, n_rays // n_check)[:n_check]
+    mesh8 = MeshScene.from_numpy(v, f, mat_id=0, dtype=jnp.float32)
+    brute = jax.jit(lambda oo, dd: intersect_brute(
+        mesh8, oo, dd, chunk=1 << 14))(o[sel], d[sel])
+    ref_hit = np.asarray(brute.hit)
+    ref_t = np.where(ref_hit, np.asarray(brute.t, np.float64), np.inf)
+    got_hit = np.asarray(hit8.hit)[sel]
+    got_t = np.where(got_hit, np.asarray(hit8.t, np.float64)[sel], np.inf)
+    hit_eq = bool((ref_hit == got_hit).all())
+    both = np.isfinite(ref_t) & np.isfinite(got_t)
+    terr = float(np.abs(ref_t[both] - got_t[both]).max()) if both.any() else 0.0
+    results["oracle_8M"] = {"rays_checked": int(n_check),
+                            "hit_frac": float(ref_hit.mean()),
                             "hit_equal": hit_eq, "t_err_max": terr}
-    print(f"[stream-bench] 8.4M oracle: hit_equal={hit_eq} "
-          f"t_err_max={terr:.2e}", flush=True)
-    del accel8, hit8
+    print(f"[stream-bench] 8.4M oracle ({n_check} rays, chunked brute): "
+          f"hit_equal={hit_eq} t_err_max={terr:.2e}", flush=True)
+    del accel8, hit8, mesh8, brute
 
     # --- 281k-tri mesh: streamed vs multi-part (round-1 multi-part size) --
     v, f = torus_knot(2, 3, 375, 375)  # 281,250 tris

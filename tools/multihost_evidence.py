@@ -39,6 +39,35 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+
+def _headline_seconds():
+    """Config-5 (fwd_s, bwd_s) from the newest committed bench artifact:
+    BENCH_ALL_r{N}.json mixed row, else the driver's BENCH_r{N}.json."""
+    import glob
+    import json
+
+    best = None
+    for path in glob.glob(os.path.join(REPO, "BENCH_ALL_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        data = json.load(open(path))
+        for row in data.get("rows", []):
+            if row.get("scene") == "mixed" and "fwdbwd_seconds" in row:
+                if best is None or rnd > best[0]:
+                    best = (rnd, row["fwd_seconds"], row["fwdbwd_seconds"])
+    if best is None:
+        for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+            rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+            data = json.load(open(path))
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            if "fwdbwd_seconds" in data and "fwd_seconds" in data:
+                if best is None or rnd > best[0]:
+                    best = (rnd, data["fwd_seconds"], data["fwdbwd_seconds"])
+    assert best is not None, "no bench artifact with fwd/fwdbwd seconds"
+    print(f"[evidence] cost-model step times from round {best[0]}: "
+          f"fwd {best[1]}s, fwd+bwd {best[2]}s")
+    return best[1], best[2]
+
 import numpy as np  # noqa: E402
 
 ICI_GBPS = 100.0  # conservative effective per-direction GB/s for a v5e ring
@@ -211,8 +240,10 @@ def main():
               f"{n_dev}x less accel memory)", ""]
 
     # --- cost model ---------------------------------------------------------
-    # t_comp from the real single-chip bench (BASELINE.md config 5):
-    fwd_s, bwd_s = 4.21, 9.67  # measured round-2 on-chip seconds per frame
+    # t_comp from the NEWEST committed single-chip bench artifact (VERDICT r4
+    # weak 5: the committed math must divide the current step time, not a
+    # stale round's)
+    fwd_s, bwd_s = _headline_seconds()
     psum_bytes = coll["all-reduce"]
     t_comm = psum_bytes / (ICI_GBPS * 1e9)
     imb = worst_imb  # slowest shard sets the pace (measured above)

@@ -337,7 +337,11 @@ def _tile_super_candidates(tiles, n_ray_ops, nt, accel: PacketAccel,
     key = jnp.where(mask, tn, jnp.inf)
     cand = jnp.argsort(key, axis=1).astype(jnp.int32)  # front-to-back
     cnt = mask.sum(1, dtype=jnp.int32)  # (nt,)
-    return cand, cnt
+    # the sorted conservative entry distances drive the kernel's early exit:
+    # once key[k] >= every lane's current best t, no later candidate (sorted
+    # ascending) can produce a closer hit
+    key_sorted = jnp.take_along_axis(key, cand, axis=1)
+    return cand, cnt, key_sorted
 
 
 def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
@@ -371,7 +375,9 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
     if interpret is None:
         interpret = _use_interpret()
     n_supers_ = accel.super_aabb.shape[0]
-    tiles_budget = _SMEM_CAND_BUDGET // (4 * n_supers_)
+    # two (nt, S) scalar-prefetch arrays ride in SMEM: int32 candidate ids +
+    # f32 sorted entry distances (the early-exit keys)
+    tiles_budget = _SMEM_CAND_BUDGET // (8 * n_supers_)
     max_rays = max(tiles_budget, 1) * TILE_RAYS
     if o.shape[0] > max_rays:
         outs = []
@@ -401,16 +407,18 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
         tiles.append(tc)
 
     n_supers = accel.super_aabb.shape[0]
-    cand, cnt = _tile_super_candidates(tiles, n_ray_ops, nt, accel, t_far)
+    cand, cnt, keys = _tile_super_candidates(tiles, n_ray_ops, nt, accel,
+                                             t_far)
 
     rows_per_super = SUPER * ROWS_PER_CHUNK
 
     def kernel(*refs):
-        cand_ref, cnt_ref = refs[0], refs[1]  # scalar-prefetch SMEM (full)
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[2:8]
-        ti_ref = refs[8] if n_ray_ops == 7 else None
+        # scalar-prefetch SMEM (full): candidate ids, counts, entry keys
+        cand_ref, cnt_ref, key_ref = refs[0], refs[1], refs[2]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[3:9]
+        ti_ref = refs[9] if n_ray_ops == 7 else None
         sup_ref, cor_hbm, cab_hbm, t_ref, tri_ref, cor_scr, cab_scr, sems = \
-            refs[2 + n_ray_ops:]
+            refs[3 + n_ray_ops:]
         i = pl.program_id(0)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -465,7 +473,12 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
             for c in dmas(0, cand_ref[i, 0]):
                 c.start()
 
-        def body(k, _):
+        def cond(carry):
+            k, stop = carry
+            return (k < n_cand) & jnp.logical_not(stop)
+
+        def body(carry):
+            k, _ = carry
             slot = jax.lax.rem(k, jnp.int32(2))
             si = cand_ref[i, k]
 
@@ -519,9 +532,27 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
 
                 jax.lax.fori_loop(0, SUPER // 2, chunk_inner, 0)
 
-            return 0
+            # Early exit (the knot-scale fix, VERDICT r4 item 6): candidates
+            # are sorted by conservative entry distance, so once the NEXT
+            # key is at or beyond every lane's current best t, no remaining
+            # candidate can improve any lane — stop streaming the rest of
+            # the mesh past this tile. For any-hit, current_best() is 0 on
+            # blocked lanes, so an all-blocked tile stops at the next step.
+            kk = jnp.minimum(k + 1, jnp.maximum(n_cand - 1, 0))
+            stop = key_ref[i, kk] >= jnp.max(current_best())
+            return k + 1, stop
 
-        jax.lax.fori_loop(0, n_cand, body, 0)
+        k_end, stopped = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), n_cand <= 0))
+        # drain: body(k) issues candidate k+1's stream before processing k,
+        # so an early exit at k_end leaves k_end's copies in flight with
+        # nobody waiting — the scratch semaphores persist across grid steps
+        # and a stale signal would corrupt the next tile's pipeline
+        @pl.when(stopped & (k_end < n_cand))
+        def _():
+            for c in dmas(jax.lax.rem(k_end, jnp.int32(2)),
+                          cand_ref[i, k_end]):
+                c.wait()
 
     out_shape = [
         jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), dtype),
@@ -535,7 +566,7 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[ray_spec] * n_ray_ops + [sup_full, hbm, hbm],
         out_specs=[ray_spec, ray_spec],
@@ -550,7 +581,8 @@ def intersect_packet_streamed(accel: PacketAccel, o: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(cand, cnt, *tiles, accel.super_aabb, accel.corners, accel.chunk_aabb)
+    )(cand, cnt, keys, *tiles, accel.super_aabb, accel.corners,
+      accel.chunk_aabb)
     return _finalize_hits(t, tri_f, accel, R, any_hit)
 
 
