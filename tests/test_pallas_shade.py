@@ -80,10 +80,15 @@ def test_kernel_backward_matches_xla_sphere():
 @pytest.mark.slow
 def test_kernel_backward_matches_xla_mandelbulb():
     """Chaotic field: boundary pixels amplify f32 reassociation through the
-    14-iteration fractal Hessian, so the two f32 estimates agree to ~1e-3
-    (both are equally far from the f64 reference — conditioning, not error);
-    smooth parameter groups stay exact."""
-    gk, gx = _grads("mandelbulb", ["sdf.mb_scale", "sdf.mb_center"])
+    fractal Hessian, so the two f32 estimates agree to ~1e-3 (both are
+    equally far from the f64 reference — conditioning, not error); smooth
+    parameter groups stay exact. 6 fractal iterations keep the chaotic
+    second-order structure while bounding the interpret-mode cost (the
+    12-iteration chain runs on chip in tools/parity_tpu.py every round)."""
+    scene, cfg = build_scene("mandelbulb", dtype=jnp.float32)
+    scene = scene.replace(sdf=scene.sdf.replace(mb_iters=6))
+    gk, gx = _grads_scene(scene, cfg,
+                          GROUPS + ["sdf.mb_scale", "sdf.mb_center"], 16)
     _assert_close(gk, gx, ("materials.albedo", "lights.color",
                            "lights.ambient", "lights.direction"))
     for k in ("sdf.mb_scale", "sdf.mb_center", "camera.origin",

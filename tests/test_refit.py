@@ -106,7 +106,9 @@ def test_vertex_fit_loop_converges_with_refit():
     st = opt.init(params)
     step = make_fit_step(start, cfg, target, opt, refit_accel=True)
     losses = []
-    for _ in range(40):
+    # 12 interpret-mode steps bound the gate cost; convergence direction is
+    # what matters (a broken refit silently misses and the loss stalls)
+    for _ in range(12):
         params, st, loss = step(params, st)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5

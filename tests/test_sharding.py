@@ -220,11 +220,16 @@ def test_ring_packet_refits_moved_verts(mesh8):
 
     from tpu_ray.fit import make_fit_step
 
-    mesh4 = make_mesh(jax.devices()[:4])
+    # 2 shards / 8x8 / no shadows: one ring rotation catches a stale accel,
+    # and every extra shard or shadow query duplicates the interpret-mode
+    # kernel cost (gate budget). The oracle step runs BRUTE MT (pallas off,
+    # no accel at all) — gradient equality against an accel-free path is the
+    # strongest form of the check.
+    mesh4 = make_mesh(jax.devices()[:2])
     scene, cfg = build_scene("triangles", dtype=jnp.float64)
     scene = scene.with_grid()
-    cfg = cfg.replace(width=12, height=12, block_size=0, pallas="on",
-                      method="mesh_grid")
+    cfg = cfg.replace(width=8, height=8, block_size=0, pallas="on",
+                      method="mesh_grid", shadow="none")
     target = render_image(scene, cfg) + 0.05
     params = extract_params(scene, ["mesh.verts"])
     # move every vert far enough to change hits vs the build-time accel
@@ -233,8 +238,10 @@ def test_ring_packet_refits_moved_verts(mesh8):
         rng.normal(size=params["mesh.verts"].shape) * 0.2)
     opt = _optax.sgd(1e-3)
     st = opt.init(params)
-    p_one, _, l_one = make_fit_step(scene.replace(grid=None), cfg, target,
-                                    opt, refit_accel=True)(params, st)
+    cfg_oracle = cfg.replace(pallas="off", method="mesh_brute")
+    p_one, _, l_one = make_fit_step(scene.replace(grid=None, packet=None),
+                                    cfg_oracle, target, opt,
+                                    refit_accel=False)(params, st)
     ring = make_sharded_fit_step(scene, cfg, target, opt, mesh4,
                                  scene_shards=True)
     p_ring, _, l_ring = ring(params, st)
