@@ -64,8 +64,8 @@ def test_vertex_fit_step_refit_matches_brute_gradients():
     the same loss and updated verts as the brute-force path (f64)."""
     scene, cfg = build_scene("triangles", dtype=jnp.float64)
     scene = scene.with_grid()
-    cfg = cfg.replace(width=20, height=20, block_size=0, method="mesh_grid",
-                      pallas="on")
+    cfg = cfg.replace(width=14, height=14, block_size=0, method="mesh_grid",
+                      pallas="on", shadow="none")
     target = render_image(scene, cfg) + 0.05
     params = extract_params(scene, ["mesh.verts"])
     opt = optax.adam(1e-3)

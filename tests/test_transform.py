@@ -72,11 +72,15 @@ def test_posed_render_matches_prebaked_verts():
     a = np.asarray(render_image(scene, cfg))
     b = np.asarray(render_image(scene_baked, cfg))
     np.testing.assert_allclose(a, b, atol=1e-12)
-    # and with the packet accel present (realize must refit it)
+    # and with the packet accel present (realize must refit it) — 12x12, no
+    # shadows: the refit-validity check, at interpret-mode gate cost
+    cfg_p = cfg.replace(width=12, height=12, pallas="on", method="mesh_grid",
+                        shadow="none")
     sp = scene.replace(poses=scene.poses).with_packet()
-    c = np.asarray(render_image(sp, cfg.replace(pallas="on",
-                                                method="mesh_grid")))
-    np.testing.assert_allclose(c, b, atol=5e-6)
+    c = np.asarray(render_image(sp, cfg_p))
+    b2 = np.asarray(render_image(scene_baked, cfg_p.replace(pallas="off",
+                                                            method="mesh_brute")))
+    np.testing.assert_allclose(c, b2, atol=5e-6)
 
 
 def test_grad_object_pose_fd():
