@@ -116,7 +116,7 @@ def shard_work_balance(scene, cfg, n_dev, balanced=True):
             for c in [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]:
                 tc, _, nt = _tileize(c)
                 tiles.append(tc)
-            _, cnt = _tile_super_candidates(tiles, 6, nt, scene.packet[0],
+            _, cnt, _keys = _tile_super_candidates(tiles, 6, nt, scene.packet[0],
                                             cfg.t_far)
             work += float(jnp.sum(cnt)) * 2048.0  # tris per candidate super
         rows.append(work)
