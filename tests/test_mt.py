@@ -59,3 +59,26 @@ def test_triangles_scene_golden():
     img = np.asarray(render_image(scene, cfg))
     ref_img = cpu_renderer.render_image(scene, cfg)
     np.testing.assert_allclose(img, ref_img, atol=5e-6)
+
+
+def test_edge_margin_corners_analytic():
+    """edge_margin_corners (the mesh soft-silhouette margin) must equal the
+    true in-plane distance to the nearest edge: for the centroid of an
+    equilateral triangle of side s that is s*sqrt(3)/6, and a point at
+    barycentric (1/2, 1/2, 0) lies ON an edge (margin 0)."""
+    s = 2.0
+    v0 = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float64)
+    v1 = jnp.asarray([[s, 0.0, 0.0]], jnp.float64)
+    v2 = jnp.asarray([[s / 2, s * np.sqrt(3) / 2, 0.0]], jnp.float64)
+    # centroid: u = v = 1/3
+    third = jnp.asarray([1.0 / 3.0], jnp.float64)
+    m = mt.edge_margin_corners(v0, v1, v2, third, third)
+    np.testing.assert_allclose(np.asarray(m), s * np.sqrt(3) / 6, rtol=1e-12)
+    # edge point between v1 and v2: b0 = 0 -> margin 0
+    half = jnp.asarray([0.5], jnp.float64)
+    m0 = mt.edge_margin_corners(v0, v1, v2, half, half)
+    np.testing.assert_allclose(np.asarray(m0), 0.0, atol=1e-12)
+    # translation/rotation invariance: rigidly move the triangle
+    off = jnp.asarray([[1.0, -2.0, 3.0]], jnp.float64)
+    m2 = mt.edge_margin_corners(v0 + off, v1 + off, v2 + off, third, third)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m), rtol=1e-12)
